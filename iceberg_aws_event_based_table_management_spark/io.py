@@ -1,0 +1,105 @@
+"""Fixture IO layer (SURVEY.md SS7 M0) + derived control tables.
+
+Loads the driver-generated parquet tables and builds the two derived
+Iceberg-metadata analogs (FIXTURES.md):
+
+- ``_snapshots``  : snapshot lineage, from ``events``
+- ``_files``      : data-file inventory, from ``lineitem``
+
+Both are plain DataFrame projections, so the DuckDB oracle rebuilds
+them as CTEs (see ``SNAPSHOTS_CTE`` / ``FILES_CTE``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import config
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the footer, surfaced as long ns via
+        # spark.sql.legacy.parquet.nanosAsLong (session.py).  Truncate
+        # to us exactly as DuckDB does.  Integer div — double division
+        # would lose precision at 2^63-scale nanos.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-lineage table (SURVEY SS1.1): one row per commit event.
+
+    Models ``SnapshotUtil.currentAncestors`` input
+    (AwsTableManagementMetricsEvaluator.java:74): table identity from
+    user_id, snapshot id from event_id, operation from event_type.
+    """
+    return table(spark, sf_dir, "events").select(
+        F.concat(F.lit("t"), F.col("user_id").cast("string")).alias("table_name"),
+        F.col("event_id").alias("snapshot_id"),
+        F.col("ts"),
+        F.col("event_type").alias("operation"),
+    )
+
+
+# Exact oracle equivalent of snapshots() — keep in lockstep.
+SNAPSHOTS_CTE = """
+  SELECT 't' || CAST(user_id AS VARCHAR) AS table_name,
+         event_id AS snapshot_id,
+         ts,
+         event_type AS operation
+  FROM events
+"""
+
+
+def files(spark: SparkSession, sf_dir: str, n_tables: int = config.FILES_TABLE_COUNT) -> DataFrame:
+    """Data-file inventory analog of the Iceberg `<table>.files` metadata
+    table, derived deterministically from lineitem (FIXTURES.md).
+
+    NB: double->bigint casts use an explicit FLOOR because Spark
+    truncates while DuckDB rounds; FLOOR makes both engines agree.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("t"), (F.col("l_orderkey") % n_tables).cast("string")).alias("table_name"),
+        F.concat(
+            F.lit("f"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("file_path"),
+        F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("file_size_bytes"),
+        F.floor(F.col("l_quantity")).cast("long").alias("record_count"),
+    )
+
+
+FILES_CTE = f"""
+  SELECT 't' || CAST(l_orderkey % {config.FILES_TABLE_COUNT} AS VARCHAR) AS table_name,
+         'f' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS file_path,
+         CAST(FLOOR(l_extendedprice * 1000) AS BIGINT) AS file_size_bytes,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS record_count
+  FROM lineitem
+"""
