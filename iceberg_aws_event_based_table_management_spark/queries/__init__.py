@@ -10,7 +10,11 @@ def load() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        aggregates,
         control_plane,
+        relational,
+        scalars,
+        sorts_sets,
     )
 
     _LOADED = True

@@ -1,0 +1,286 @@
+"""Tier C (part 2) — aggregations and window functions (C18-C27).
+
+Float determinism: plain double sums are order-dependent, so every
+money sum goes through an exact decimal accumulator
+(`sum(cast(x as decimal(18,2)))`) and is cast back to double — both
+engines then produce bit-identical results regardless of partial-agg
+order.  This also mirrors what a production engine should do with
+currency at 100 TB (no drift across partition counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..registry import register
+
+
+def dec_sum(col: str | Column, scale: int = 2) -> Column:
+    """Order-independent exact sum of a money-like double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dec_sum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+@register(
+    "agg_pricing_summary",
+    tier="C",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           {_dec_sum_sql('l_extendedprice')} AS sum_base_price,
+           {_dec_sum_sql('ROUND(l_extendedprice * (1 - l_discount), 4)', 4)} AS sum_disc_price,
+           {_dec_sum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: hash aggregation, TPC-H Q1 shape over lineitem (partial +
+    final agg is automatic map-side combine; one shuffle on the tiny
+    group key)."""
+    li = io.table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        dec_sum(disc_price, 4).alias("sum_disc_price"),
+        (dec_sum("l_extendedprice") / F.count("*")).alias("avg_price"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    tier="C",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: distinct aggregation (expand + two-phase agg under the hood)."""
+    return (
+        io.table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register("agg_approx_distinct", tier="C", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: approximate count-distinct (HLL++).  Rows-only check — the
+    sketch is engine-specific (SURVEY SS5.2); the test suite bounds its
+    error vs the exact count instead."""
+    return (
+        io.table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+@register(
+    "agg_rollup_by_nation_region",
+    tier="C",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: rollup (hierarchical grouping sets) over the
+    region>nation>customer hierarchy — dims broadcast, single shuffle
+    for the expanded grouping sets."""
+    c = io.table(spark, sf_dir, "customer")
+    n = io.table(spark, sf_dir, "nation")
+    r = io.table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("c_custkey").alias("n_customers"),
+        dec_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+@register(
+    "agg_conditional",
+    tier="C",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           {_dec_sum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: filtered/conditional aggregation — `sum(when(...))` =
+    `FILTER (WHERE ...)`."""
+    o = io.table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        dec_sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)).alias(
+            "open_value"
+        ),
+    )
+
+
+@register(
+    "agg_array_collect",
+    tier="C",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_kinds,
+           COUNT(DISTINCT event_type) AS n_kinds
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: array aggregation (collect_set) — rendered sorted+joined for
+    engine-neutral hashing.  Bounded per group (event-type vocabulary),
+    so safe at scale — never collect an unbounded list."""
+    ev = io.table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_kinds"),
+        F.countDistinct("event_type").alias("n_kinds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (C24-C27)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_orders_per_cust",
+    tier="C",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank
+    FROM orders
+    """,
+)
+def window_rank_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: ranking windows (row_number / rank / dense_rank) partitioned
+    by customer — partition key bounds state at any scale."""
+    o = io.table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_status = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_price).alias("price_rank"),
+        F.rank().over(w_status).alias("status_rank"),
+        F.dense_rank().over(w_prio).alias("prio_rank"),
+    )
+
+
+@register(
+    "window_lag_commit_gap",
+    tier="C",
+    oracle=f"""
+    WITH snapshots AS ({io.SNAPSHOTS_CTE})
+    SELECT table_name, snapshot_id, ts,
+           epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY table_name ORDER BY ts, snapshot_id)) AS gap_ms,
+           LEAD(snapshot_id) OVER (PARTITION BY table_name ORDER BY ts, snapshot_id) AS next_snapshot_id
+    FROM snapshots
+    """,
+)
+def window_lag_commit_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: lag/lead analytics — the snapshot-interval math implied by
+    the reference's age check (AwsTableManagementMetricsEvaluator.java:119)."""
+    snaps = io.snapshots(spark, sf_dir)
+    w = Window.partitionBy("table_name").orderBy("ts", "snapshot_id")
+    return snaps.select(
+        "table_name",
+        "snapshot_id",
+        "ts",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+        F.lead("snapshot_id").over(w).alias("next_snapshot_id"),
+    )
+
+
+@register(
+    "window_running_filesize_cumsum",
+    tier="C",
+    oracle=f"""
+    WITH files AS ({io.FILES_CTE})
+    SELECT table_name, file_path, file_size_bytes,
+           SUM(file_size_bytes) OVER (
+             PARTITION BY table_name
+             ORDER BY file_size_bytes DESC, file_path
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_bytes
+    FROM files
+    """,
+)
+def window_running_filesize_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26: frame-spec running sum over the file inventory — the exact
+    cumsum that drives binpack group assignment (B1)."""
+    f = io.files(spark, sf_dir)
+    w = (
+        Window.partitionBy("table_name")
+        .orderBy(F.desc("file_size_bytes"), "file_path")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "table_name",
+        "file_path",
+        "file_size_bytes",
+        F.sum("file_size_bytes").over(w).alias("running_bytes"),
+    )
+
+
+@register(
+    "window_ntile_value_quartiles",
+    tier="C",
+    oracle="""
+    SELECT user_id, event_id, value,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile,
+           CAST(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id) AS DOUBLE) AS pct_rank
+    FROM events
+    """,
+)
+def window_ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: ntile + percent_rank (total order via event_id tiebreak for
+    determinism)."""
+    ev = io.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+    )
