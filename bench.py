@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect).  Timings include Catalyst planning but not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import iceberg_aws_event_based_table_management_spark as engine
+from iceberg_aws_event_based_table_management_spark.session import get_spark
+
+# Representative mix: control plane, relational heavy-hitters,
+# maintenance planning, dedup/similarity/text extensions.
+HEADLINE = [
+    "should_optimize_decision",
+    "agg_pricing_summary",
+    "join_inner_orders_customer",
+    "window_rank_orders_per_cust",
+    "topk_orders_by_price",
+    "binpack_group_assignment",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "topk_similarity_bruteforce",
+    "similarity_threshold_pairs",
+    "text_token_stats",
+    "stream_tumbling_commits_per_hour",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    engine.load_all_queries()
+    qmap = engine.query_map()
+
+    spark = get_spark("ebtm-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + IO path once (excluded from timings)
+    qmap["scan_parquet"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

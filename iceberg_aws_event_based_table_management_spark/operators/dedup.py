@@ -1,0 +1,171 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md SS2-D
+D1/D2 + BASELINE.json north-star ops).
+
+Five dedup families over the `documents` table, all shuffle-conscious:
+
+- exact:      content hash -> keep min doc_id per hash (one shuffle)
+- minhash:    word-shingle MinHash signatures + LSH banding — candidate
+              pairs via equi-join on (band, band_hash) buckets, so the
+              join never goes quadratic; verification joins only the
+              candidates (the 100 TB path)
+- simhash:    64-bit sign-aggregated fingerprint; near-dups = equal
+              fingerprint buckets (or small hamming distance on
+              candidates)
+- ngram:      exact word-3-gram Jaccard on blocked candidate pairs
+- embedding:  cosine near-dup over the embeddings table (see
+              operators/similarity.py)
+
+Hash choice: xxhash64 with per-permutation seeds — JVM-side, codegen'd,
+no Python boundary anywhere in the signature computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(documents: DataFrame, keep: str = "min") -> DataFrame:
+    """D1: exact dedup by sha256(text); deterministic survivor = min
+    doc_id per hash.  groupBy-join-free formulation: one window rank
+    per hash partition."""
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        documents.withColumn("content_hash", F.sha2("text", 256))
+        .withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") == 1)
+        .drop("rank_in_group")
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Built from split + sequence + transform — all codegen'd; explode
+    fans out to rows for the minhash/jaccard aggregations.
+    """
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per doc: for each of `num_hashes` seeded hash
+    functions, the min over the doc's shingles.  Computed as ONE
+    aggregation with an array of min-accumulators — no per-permutation
+    shuffle, no Python."""
+    hashes = F.array(
+        *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+    )
+    return (
+        sh.withColumn("hs", hashes)
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
+            ).alias("signature")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing any
+    (band_id, band_hash) bucket become candidate pairs.  The bucket
+    equi-join is the scale move — candidates ~ true near-dups, not n^2."""
+    assert bands * rows_per_band <= 64
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, block: DataFrame | None = None, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
+    (optionally restricted to a candidate/block set).
+
+    intersection via shingle equi-join + count; union = |A|+|B|-inter.
+    The shingle join is the selective path: only co-occurring shingles
+    produce pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if block is not None:
+        inter = inter.join(block, ["doc_id_a", "doc_id_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per word-hash bit, sum +/-1 weighted by
+    term frequency; fingerprint bit = sign.  Expressed as explode ->
+    per-bit conditional sums -> bit reassembly, all JVM-side."""
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    # bit b of fingerprint = 1 iff sum over words of (bit set ? +1 : -1) > 0
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**b).cast("long"))
+            for b in range(bits - 1)  # keep sign bit clear: 63 usable bits
+        ).alias("simhash"),
+    )
+    return fp

@@ -1,0 +1,212 @@
+"""Job-runner plumbing — the Executor SPI re-expressed locally.
+
+Models the reference's executor layer (SURVEY SS2-A A13, A17-A20):
+
+- `Executor` SPI: `initialize(table, properties)` / `execute()`
+  (Executor.java:17,22)
+- dynamic dispatch by impl name via a registry (the Python analog of
+  `loadExecutor`'s reflection, AwsTableManagementMetricsEvaluator.java:152-176)
+- rendered job-script sink: writes the generated SQL/PySpark script to
+  a file before running (`createFile`, BaseEmrOptimizeDataExecutor.java:82-89;
+  PYTHON_JOB_TEMPLATE, EmrServerlessOptimizeDataExecutor.java:41-44)
+- async submit + synchronous status polling every sleep-wait-ms
+  (`synchronous-enabled` / `waitFor*`, AwsManageProperties.java:20-29,
+  AthenaOptimizeDataExecutor.java:122-155)
+
+The remote AWS backends become one local backend: a thread running the
+native compaction (operators.maintenance).  The SPI shape is kept so a
+real remote backend (e.g. an Iceberg `CALL system.rewrite_data_files`)
+can slot in unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+import uuid
+from typing import Protocol
+
+from pyspark.sql import SparkSession
+
+from .. import config
+from . import maintenance
+
+PYTHON_JOB_TEMPLATE = (
+    "from pyspark.sql import SparkSession\n"
+    "spark = SparkSession.builder.getOrCreate()\n"
+    'spark.sql("%s").show()\n'
+)
+
+
+def render_python_job(sql: str) -> str:
+    """A18: the 3-line generated PySpark driver
+    (EmrServerlessOptimizeDataExecutor.java:123-135)."""
+    return PYTHON_JOB_TEMPLATE % sql
+
+
+def write_job_script(script_dir: str, content: str, suffix: str) -> str:
+    """A17: job-script file sink — `query-<uuid>.sql|py`
+    (EmrOnEksOptimizeDataExecutor.java:70-71; EmrServerless...:61-62)."""
+    os.makedirs(script_dir, exist_ok=True)
+    path = os.path.join(script_dir, f"query-{uuid.uuid4()}.{suffix}")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(content)
+    return path
+
+
+class Executor(Protocol):
+    """The SPI (Executor.java:9-23)."""
+
+    def initialize(self, table_dir: str, properties: dict[str, str]) -> None: ...
+
+    def execute(self) -> None: ...
+
+
+_EXECUTORS: dict[str, type] = {}
+
+
+def register_executor(name: str):
+    def deco(cls):
+        _EXECUTORS[name] = cls
+        cls.impl_name = name
+        return cls
+
+    return deco
+
+
+def load_executor(impl: str) -> Executor:
+    """A13: dynamic dispatch — registry lookup standing in for the
+    no-arg-constructor reflection of `loadExecutor` (:152-176)."""
+    try:
+        return _EXECUTORS[impl]()
+    except KeyError:
+        raise ValueError(f"Cannot initialize Executor implementation {impl}") from None
+
+
+class JobState:
+    SUBMITTED = "SUBMITTED"
+    RUNNING = "RUNNING"
+    SUCCEEDED = "SUCCEEDED"
+    FAILED = "FAILED"
+
+
+@register_executor("local-compaction")
+class LocalCompactionExecutor:
+    """The in-process stand-in for the four AWS executors: submits the
+    rewrite asynchronously and exposes the same poll-until-terminal
+    state machine (A19/A20)."""
+
+    def __init__(self) -> None:
+        self.table_dir: str | None = None
+        self.properties: dict[str, str] = {}
+        self.state = JobState.SUBMITTED
+        self.error: BaseException | None = None
+        self.result: maintenance.CompactionResult | None = None
+        self.script_path: str | None = None
+        self._thread: threading.Thread | None = None
+        self._spark: SparkSession | None = None
+
+    def initialize(self, table_dir: str, properties: dict[str, str]) -> None:
+        # config validation mirrors BaseEmrOptimizeDataExecutor.java:55-58
+        if not table_dir:
+            raise ValueError("table_dir is required")
+        self.table_dir = table_dir
+        self.properties = dict(properties)
+        self._spark = SparkSession.getActiveSession()
+
+    def _run(self) -> None:
+        self.state = JobState.RUNNING
+        try:
+            strategy = self.properties.get("optimize-data.strategy", config.STRATEGY_BINPACK)
+            sort_order = self.properties.get("optimize-data.sort-order")
+            self.result = maintenance.compact_table(
+                self._spark,
+                self.table_dir,
+                strategy=strategy,
+                sort_order=sort_order.split(",") if sort_order else None,
+                max_group_size_bytes=int(
+                    self.properties.get(
+                        "optimize-data.options.max-file-group-size-bytes",
+                        config.MAX_FILE_GROUP_SIZE_BYTES,
+                    )
+                ),
+                target_file_size_bytes=int(
+                    self.properties.get("optimize-data.target-file-size-bytes", 128 * 1024 * 1024)
+                ),
+                partial_progress=self.properties.get(
+                    "optimize-data.options.partial-progress.enabled", "true"
+                )
+                == "true",
+            )
+            self.state = JobState.SUCCEEDED
+        except BaseException as e:  # noqa: BLE001 — reported via poll, like the AWS state machines
+            self.error = e
+            self.state = JobState.FAILED
+
+    def execute(self) -> None:
+        """A19: fire-and-forget submit; A17/A18: persist the rendered
+        job script first, like every EMR backend does."""
+        sql = (
+            f"CALL {config.CATALOG_NAME}.system.rewrite_data_files("
+            f"table => '{os.path.basename(self.table_dir)}')"
+        )
+        self.script_path = write_job_script(
+            os.path.join(self.table_dir, "_jobs"), render_python_job(sql), "py"
+        )
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        if self.properties.get("optimize-data.synchronous-enabled", "false") == "true":
+            self.wait_for_completion()
+
+    def wait_for_completion(self, timeout_s: float = 600.0) -> str:
+        """A20: synchronous poll loop every sleep-wait-ms until a
+        terminal state; FAILED raises, like Athena's
+        `waitForQueryToComplete` (AthenaOptimizeDataExecutor.java:133-140)."""
+        sleep_ms = int(self.properties.get("optimize-data.sleep-wait-ms", config.SLEEP_WAIT_MS))
+        deadline = time.time() + timeout_s
+        while self.state in (JobState.SUBMITTED, JobState.RUNNING):
+            if time.time() > deadline:
+                raise TimeoutError("compaction job did not finish in time")
+            time.sleep(min(sleep_ms / 1000.0, 0.05))
+        if self.state == JobState.FAILED:
+            raise RuntimeError(f"compaction job failed: {self.error}") from self.error
+        return self.state
+
+
+def evaluate_and_maybe_optimize(
+    spark: SparkSession,
+    table_dir: str,
+    properties: dict[str, str] | None = None,
+    *,
+    now: str | None = None,
+) -> LocalCompactionExecutor | None:
+    """The end-to-end main path (SURVEY SS3.1): read the table's
+    snapshot lineage, run the trigger decision, and if it fires,
+    dispatch the configured executor — the `report()` ->
+    `shouldOptimizeDataFiles` -> `executor.execute()` chain
+    (AwsTableManagementMetricsEvaluator.java:64-85)."""
+    from . import trigger
+
+    properties = dict(properties or {})
+    snaps = maintenance.read_snapshots(spark, table_dir)
+    decision = trigger.decide_optimize(
+        snaps,
+        now=now or time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+        commit_threshold=int(
+            properties.get("optimize-data.commit-threshold", config.COMMIT_THRESHOLD)
+        ),
+        time_threshold_ms=int(
+            properties.get("optimize-data.time-threshold-ms", config.TIME_THRESHOLD_MS)
+        ),
+        replace_op="replace",
+    ).collect()
+    if not decision or not decision[0]["should_optimize"]:
+        return None
+    # recursion guard: strip reporter keys before handing config to the
+    # spawned job (A11; AwsTableManagementMetricsEvaluator.java:93-99)
+    job_props = {k: v for k, v in properties.items() if k not in config.REPORTER_PROPERTIES}
+    executor = load_executor(properties.get("optimize-data.impl", "local-compaction"))
+    executor.initialize(table_dir, job_props)
+    executor.execute()
+    return executor

@@ -1,0 +1,185 @@
+"""Tier B — compaction (the work the reference delegates to Athena/EMR).
+
+Implements `rewrite_data_files` semantics natively over parquet-backed
+tables with an explicit `_snapshots` lineage log, mirroring:
+
+- binpack strategy, <= max-file-group-size-bytes groups
+  (AwsManageProperties.java:48-54; Athena `OPTIMIZE ... REWRITE DATA
+  USING BIN_PACK`, AthenaOptimizeDataExecutor.java:35)
+- sort strategy (`strategy=sort`, sort_order -> global orderBy;
+  EMRSparkUtil.java:118-124)
+- partial progress: one independent commit per file group
+  (`partial-progress.enabled`, AwsManageProperties.java:48-50)
+- the compaction commit is a REPLACE snapshot — the watermark the
+  trigger evaluator stops at (AwsTableManagementMetricsEvaluator.java:114)
+
+Scale notes: group planning is a window cumsum over the *file
+inventory* (metadata, rows ~ file count — tiny even at 100 TB of
+data); the rewrite itself is one `spark.read(group).repartition(n)`
+job per group, where n = ceil(group_bytes / target_file_bytes), so no
+single task ever sees more than one output file's worth of data.
+Nothing is collected to the driver except the group list (bounded by
+file count / cap).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import config
+
+
+def plan_binpack_groups(files: DataFrame, cap_bytes: int) -> DataFrame:
+    """Assign each data file to a rewrite group of <= cap_bytes (B1/B3).
+
+    Deterministic first-fit-over-sorted-order via running cumsum:
+    files ordered (size desc, path), group = floor(exclusive_cumsum /
+    cap).  Expressible identically in SQL (the oracle uses the same
+    formula), and purely window-based — no driver loop.
+    """
+    w = (
+        Window.partitionBy("table_name")
+        .orderBy(F.desc("file_size_bytes"), "file_path")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("file_size_bytes").over(w)
+    return files.withColumn(
+        "group_id",
+        F.floor((running - F.col("file_size_bytes")) / F.lit(cap_bytes)).cast("long"),
+    )
+
+
+@dataclass
+class CompactionResult:
+    table_dir: str
+    n_groups: int
+    files_before: int
+    files_after: int
+    rows_before: int
+    rows_after: int
+    replace_snapshot_ids: list[int]
+
+
+def _list_data_files(table_dir: str) -> list[str]:
+    data_dir = os.path.join(table_dir, "data")
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def append_snapshot(spark: SparkSession, table_dir: str, operation: str, snapshot_id: int | None = None) -> int:
+    """Append one row to the table's `_snapshots` lineage log (B4).
+
+    The REPLACE row written by compaction is exactly what
+    `pending_since_replace` (A7) later treats as the optimize
+    watermark.
+    """
+    if snapshot_id is None:
+        snapshot_id = time.time_ns()
+    row = [(os.path.basename(table_dir), snapshot_id, operation)]
+    df = (
+        spark.createDataFrame(row, "table_name string, snapshot_id long, operation string")
+        .withColumn("ts", F.timestamp_micros(F.lit(snapshot_id // 1000)))
+        .select("table_name", "snapshot_id", "ts", "operation")
+    )
+    df.coalesce(1).write.mode("append").parquet(os.path.join(table_dir, "_snapshots"))
+    return snapshot_id
+
+
+def read_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(table_dir, "_snapshots"))
+
+
+def write_table(spark: SparkSession, df: DataFrame, table_dir: str, n_files: int) -> None:
+    """Materialize a parquet table dir with an initial append snapshot."""
+    df.repartition(n_files).write.mode("overwrite").parquet(os.path.join(table_dir, "data"))
+    append_snapshot(spark, table_dir, "append")
+
+
+def file_inventory(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The `<table>.files` metadata analog, from the real filesystem."""
+    paths = _list_data_files(table_dir)
+    rows = [(os.path.basename(table_dir), p, os.path.getsize(p)) for p in paths]
+    return spark.createDataFrame(rows, "table_name string, file_path string, file_size_bytes long")
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    strategy: str = config.STRATEGY_BINPACK,
+    sort_order: list[str] | None = None,
+    max_group_size_bytes: int = config.MAX_FILE_GROUP_SIZE_BYTES,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    partial_progress: bool = True,
+) -> CompactionResult:
+    """The native `rewrite_data_files` (B1/B2/B3/B4).
+
+    Reads each planned file group, rewrites it as ceil(bytes/target)
+    files (optionally globally sorted), atomically swaps the group's
+    files, and commits one REPLACE snapshot per group (partial
+    progress) or one for the whole run.
+    """
+    inv = file_inventory(spark, table_dir)
+    planned = plan_binpack_groups(inv, max_group_size_bytes)
+    groups = (
+        planned.groupBy("group_id")
+        .agg(
+            F.collect_list("file_path").alias("paths"),
+            F.sum("file_size_bytes").alias("bytes"),
+        )
+        .orderBy("group_id")
+        .collect()  # bounded: one row per file group (metadata-size)
+    )
+    files_before = sum(len(g["paths"]) for g in groups)
+    rows_before = spark.read.parquet(os.path.join(table_dir, "data")).count()
+
+    replace_ids: list[int] = []
+    data_dir = os.path.join(table_dir, "data")
+    for g in groups:
+        n_out = max(1, -(-int(g["bytes"]) // target_file_size_bytes))  # ceil
+        df = spark.read.parquet(*sorted(g["paths"]))
+        if strategy == config.STRATEGY_SORT:
+            if not sort_order:
+                raise ValueError("sort strategy requires sort_order")
+            df = df.repartitionByRange(n_out, *sort_order).sortWithinPartitions(*sort_order)
+        else:
+            df = df.repartition(n_out)
+        staged = os.path.join(table_dir, f"_staged-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staged)
+        # swap: move staged files in, drop originals (per-group commit)
+        for p in g["paths"]:
+            os.remove(p)
+        for f_ in os.listdir(staged):
+            if f_.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, f_),
+                    os.path.join(data_dir, f"compacted-{uuid.uuid4().hex}.parquet"),
+                )
+        for leftover in os.listdir(staged):
+            os.remove(os.path.join(staged, leftover))
+        os.rmdir(staged)
+        if partial_progress:
+            replace_ids.append(append_snapshot(spark, table_dir, "replace"))
+    if not partial_progress:
+        replace_ids.append(append_snapshot(spark, table_dir, "replace"))
+
+    files_after = len(_list_data_files(table_dir))
+    rows_after = spark.read.parquet(os.path.join(table_dir, "data")).count()
+    return CompactionResult(
+        table_dir=table_dir,
+        n_groups=len(groups),
+        files_before=files_before,
+        files_after=files_after,
+        rows_before=rows_before,
+        rows_after=rows_after,
+        replace_snapshot_ids=replace_ids,
+    )

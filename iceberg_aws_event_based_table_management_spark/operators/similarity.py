@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (SURVEY.md SS2-D D3/D4 +
+BASELINE.json ANN requirement).
+
+Paths, in order of scale:
+
+- brute-force cosine top-k: cross join against the (broadcast) query
+  vector; exact — the oracle-validation path at small sf, and the
+  correct baseline for recall measurement.
+- threshold self-join blocked by `label`: all pairs >= tau inside each
+  block — blocking bounds the quadratic term to block sizes.
+- LSH-bucketed ANN (random hyperplane signs): candidate generation by
+  bucket equi-join, exact re-rank inside buckets only.  This is the
+  100 TB path: the cross join never materializes.
+
+Dot products use zip_with + aggregate on doubles — JVM-side, sequential
+fold (deterministic order).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_bruteforce(embeddings: DataFrame, query_vec: list[float], k: int = 20) -> DataFrame:
+    """D3 baseline: exact cosine top-k vs a literal query vector.
+
+    The query vector is a broadcast literal column — the 'cross join'
+    is really a map-side projection + TakeOrderedAndProject; nothing
+    shuffles but the k winners."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        "vec_id",
+        "label",
+        F.round(cosine(as_double("embedding"), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
+
+
+def threshold_pairs_blocked(embeddings: DataFrame, tau: float = 0.2) -> DataFrame:
+    """D4: all pairs with cosine >= tau, blocked by `label` — the
+    equi-join on the block key keeps each join partition at
+    block_size^2, not n^2."""
+    e = embeddings.select(
+        "vec_id", "label", as_double("embedding").alias("v"), norm(as_double("embedding")).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "label",
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= tau)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python LCG —
+    no numpy RNG state, reproducible across runs/engines)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            # Park-Miller LCG
+            state = (state * 48271) % 2147483647
+            vec.append((state / 2147483647.0) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / n for x in vec])
+    return planes
+
+
+def lsh_bucket_signature(dim: int, n_planes: int = 12, seed: int = 42):
+    """Random-hyperplane sign signature as a single long column builder."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def sig(vec_col: Column) -> Column:
+        bits = []
+        for i, p in enumerate(planes):
+            pc = F.array(*[F.lit(x) for x in p])
+            bits.append(
+                F.when(dot(vec_col, pc) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    return sig
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """D3 scale path: LSH-bucketed approximate top-k.
+
+    Candidates = vectors whose hyperplane-sign bucket is within
+    `probe_hamming` bit flips of the query's bucket (multi-probe);
+    exact cosine re-rank on candidates only.  Bucket count 2^n_planes
+    bounds each probe to ~n/2^planes vectors — at 1000 executors the
+    probe list is a broadcast semi-join, never a cross join."""
+    dim = len(query_vec)
+    sig = lsh_bucket_signature(dim, n_planes)
+    e = embeddings.select("vec_id", "label", as_double("embedding").alias("v"))
+    bucketed = e.withColumn("bucket", sig(F.col("v")))
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    # compute the query bucket on the driver-side via the same planes
+    planes = _hyperplanes(dim, n_planes)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qbits |= 1 << i
+    # multi-probe: every bucket within `probe_hamming` bit flips of the
+    # query bucket (recall/cost dial: candidates ~ n * sum(C(planes,k)) / 2^planes)
+    probes = [
+        qbits ^ mask
+        for mask in range(2**n_planes)
+        if bin(mask).count("1") <= probe_hamming
+    ]
+
+    cands = bucketed.filter(F.col("bucket").isin(probes))
+    scored = cands.select(
+        "vec_id", "label", F.round(cosine(F.col("v"), qcol), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (dedup family): pairs
+    above tau inside label blocks; survivors = min vec_id per
+    connected pair set is left to the caller."""
+    return threshold_pairs_blocked(embeddings, tau)

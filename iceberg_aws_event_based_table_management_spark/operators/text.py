@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md SS2-D
+D5 + BASELINE.json: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything is built-in-function composition (split/regexp/aggregate) —
+zero Python UDFs in the hot path; all per-document, so the operators
+scale embarrassingly (no shuffle except final aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small function-word profile per language-analog.  The fixture's
+# `lang` column is the ground truth; the classifier must not peek at it.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+# non-space symbol — the standard pre-tokenization shape.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """D5 core: per-document token/char counts + ratios."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_chars.cast("double") / n_words.cast("double"), 6).alias("avg_word_len"),
+        F.round(n_stop.cast("double") / n_words.cast("double"), 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length band + punctuation ratio +
+    stopword ratio + mean word length, combined into [0,1]."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0))).cast("double")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(n_stop / F.greatest(n_words, F.lit(1.0)) * 4, F.lit(1.0))
+    punct_penalty = F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 10, F.lit(1.0))
+    score = F.round(0.4 * len_score + 0.4 * stop_score + 0.2 * (1 - punct_penalty), 6)
+    return documents.select(
+        "doc_id",
+        "lang",
+        score.alias("quality_score"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(stop_score, 6).alias("stop_score"),
+        F.round(punct_penalty, 6).alias("punct_penalty"),
+    )
+
+
+def rolling_fingerprint(documents: DataFrame, mod: int = 1_000_000_007, base: int = 31) -> Column | DataFrame:
+    """Polynomial rolling hash over the document's characters —
+    deterministic content fingerprint (cheap exact-dup key that
+    streams; unlike sha2 it is incrementally updatable, cited in
+    SURVEY SS2-D as 'document fingerprinting (rolling hash)').
+
+    h = (sum_i c_i * base^(n-i)) mod p, folded left-to-right:
+    h_{i+1} = (h_i * base + c_i) mod p.
+    """
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def lang_id_ngram(documents: DataFrame, profile_size: int = 20) -> DataFrame:
+    """Language-ID by n-gram/function-word profile matching.
+
+    Profiles: the top `profile_size` most frequent words per lang,
+    learned from the corpus itself (deterministic tie-break word asc).
+    Classification: each document votes for the lang whose profile
+    covers most of its distinct words (ties -> lang asc).  The doc's
+    own lang column is used only for profile building (weak
+    supervision), never at classify time.
+
+    Scale shape: profiles are tiny (langs x profile_size) -> broadcast
+    join against the exploded doc-word table; one shuffle to
+    re-aggregate votes per doc.
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+
+    freq = words.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "word")
+    profile = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= profile_size)
+        .select(F.col("lang").alias("profile_lang"), "word")
+    )
+
+    doc_words = words.select("doc_id", "word").distinct()
+    votes = (
+        doc_words.join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    wv = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), "profile_lang")
+    predicted = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("profile_lang").alias("predicted_lang"), "overlap")
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(predicted, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("predicted_lang", F.lit("unknown")).alias("predicted_lang"),
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            (F.col("lang") == F.coalesce("predicted_lang", F.lit("unknown"))).alias("correct"),
+        )
+    )

@@ -12,9 +12,15 @@ def load() -> None:
     from . import (  # noqa: F401
         aggregates,
         control_plane,
+        dedup,
+        maintenance,
         relational,
         scalars,
+        similarity,
         sorts_sets,
+        streaming_batch,
+        text,
+        udfs,
     )
 
     _LOADED = True

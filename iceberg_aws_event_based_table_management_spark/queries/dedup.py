@@ -1,0 +1,138 @@
+"""Tier D — deduplication queries (SURVEY.md SS2-D D1/D2 +
+BASELINE.json dedup family: exact, MinHash-LSH, SimHash, n-gram
+Jaccard).  Engine logic in operators/dedup.py.
+
+The fixture corpus has no byte-identical documents (verified), so the
+exact-dedup query replays a deterministic subset as duplicates; the
+corpus DOES contain planted near-duplicate pairs (word-3-gram Jaccard
+>= 0.8), which the MinHash/Jaccard paths must surface (asserted in
+tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators import dedup as D
+from ..registry import register
+
+
+def _with_replayed_dups(documents: DataFrame) -> DataFrame:
+    """documents + every 10th doc re-ingested under a new id."""
+    dups = documents.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return documents.unionByName(dups)
+
+
+_DUPED_CTE = """
+  duped AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  )
+"""
+
+
+@register(
+    "dedup_exact_documents",
+    tier="D",
+    oracle=f"""
+    WITH {_DUPED_CTE}
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS surviving_doc_id,
+           COUNT(*) AS n_copies
+    FROM duped GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: exact dedup by sha256(text) over a corpus with replayed
+    duplicates — survivor = min doc_id, with copy counts.  One shuffle
+    on the hash; at 100 TB this is the cheapest dedup pass and runs
+    first in the pipeline."""
+    duped = _with_replayed_dups(io.table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return duped.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("surviving_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@register("dedup_near_candidates", tier="D", oracle=None)
+def dedup_near_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (rows-only — hash seeds are engine-specific, SURVEY SS2-D):
+    MinHash-LSH candidate pairs: word-3-shingles -> 32-permutation
+    MinHash signature -> 8 bands x 4 rows banding -> bucket equi-join.
+    The LSH bucket join is the 100 TB path (no quadratic blowup);
+    recall vs exact Jaccard is asserted in tests/test_dedup.py."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = D.shingles(docs, 3)
+    sig = D.minhash_signatures(sh, num_hashes=32)
+    return D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+
+
+_GRAMS_CTE = r"""
+  ws AS (
+    SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS w
+    FROM documents
+  ),
+  grams AS (
+    SELECT DISTINCT doc_id, lang, array_to_string(w[i:i+2], ' ') AS shingle
+    FROM ws, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+  ),
+  gramsf AS (SELECT * FROM grams WHERE shingle <> '')
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tier="D",
+    oracle=f"""
+    WITH {_GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM gramsf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM gramsf a JOIN gramsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_id_a = sa.doc_id
+    JOIN sizes sb ON doc_id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-exact: word-3-gram Jaccard pairs >= 0.5 — surfaces the
+    fixture's planted near-duplicates.  The shingle equi-join is the
+    selective candidate generator; at scale it runs AFTER LSH blocking
+    (dedup_near_candidates) so only candidates are verified."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = D.shingles(docs, 3)
+    pairs = D.jaccard_pairs(sh, threshold=0.5)
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@register("dedup_simhash_buckets", tier="D", oracle=None)
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets (rows-only — xxhash64 is
+    engine-specific): 63-bit sign fingerprints; docs sharing a
+    fingerprint are near-dup candidates.  Sign-aggregation is one
+    explode + one groupBy — linear, no pairwise work."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = D.simhash(docs)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 1)
+    )

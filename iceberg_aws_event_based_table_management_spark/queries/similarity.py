@@ -1,0 +1,182 @@
+"""Tier D — similarity search + multimodal queries (SURVEY.md SS2-D
+D3/D4/D6 + BASELINE.json ANN/multimodal).  Engine logic in
+operators/similarity.py and operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..registry import register
+
+# DuckDB-side exact double-precision cosine, sequential fold like
+# Spark's aggregate(): elementwise to double, dot/norms via
+# list_dot_product on the doubled lists (both engines cast each float
+# to double exactly, multiply exactly, and sum left-to-right).
+_DUCK_COS = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+    "list_transform({b}, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({a}, x -> CAST(x AS DOUBLE))))"
+    " * sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        io.table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "topk_similarity_bruteforce",
+    tier="D",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_DUCK_COS.format(a="embedding", b="qe")}, 6) AS cosine_sim
+    FROM embeddings CROSS JOIN q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def topk_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 baseline: exact cosine top-20 vs the vec_id=0 query vector.
+    Broadcast-literal query vector -> map-side scoring ->
+    TakeOrderedAndProject; exact and oracle-checkable.  The scale path
+    is ann_topk_lsh (bucketed candidates, exact re-rank)."""
+    return S.topk_bruteforce(io.table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 20)
+
+
+@register("ann_topk_lsh", tier="D", oracle=None)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale path (rows-only — approximate by design): random-
+    hyperplane LSH bucketing (8 planes -> 256 buckets), multi-probe
+    (Hamming<=1) candidate fetch, exact cosine re-rank of candidates
+    only.  Recall vs brute force is asserted in tests/test_similarity.py;
+    at 100 TB the bucket filter replaces the full scan."""
+    return S.ann_topk_lsh(
+        io.table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=20, n_planes=8
+    )
+
+
+@register(
+    "similarity_threshold_pairs",
+    tier="D",
+    oracle=f"""
+    SELECT a.label AS label,
+           a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.2
+    """,
+)
+def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: similarity self-join — all pairs with cosine >= 0.2 inside
+    `label` blocks.  Blocking caps the pairwise term at block_size^2
+    per partition (the 100 TB posture; unblocked all-pairs is
+    forbidden)."""
+    e = io.table(spark, sf_dir, "embeddings")
+    pairs = S.threshold_pairs_blocked(e, tau=0.2)
+    return pairs.select("label", "vec_id_a", "vec_id_b", "cosine_sim")
+
+
+@register("dedup_embedding_neardup", tier="D", oracle=None)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (rows-only; the SQL-checked
+    geometry lives in similarity_threshold_pairs): pairs >= tau within
+    label blocks, survivor = min vec_id per duplicate pair."""
+    pairs = S.embedding_neardup_pairs(io.table(spark, sf_dir, "embeddings"), tau=0.3)
+    return pairs.groupBy("vec_id_a").agg(
+        F.count("*").alias("n_neardups"),
+        F.min("vec_id_b").alias("first_dup"),
+    )
+
+
+@register(
+    "multimodal_join_docs_embeddings",
+    tier="D",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS dim,
+           ROUND(sqrt(list_dot_product(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)))), 6) AS embedding_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join_docs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: multimodal join — text modality x embedding modality by id,
+    with null-safe vector math on the joined rows."""
+    d = io.table(spark, sf_dir, "documents")
+    e = io.table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(S.norm(S.as_double("embedding")), 6).alias("embedding_norm"),
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    tier="D",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS media_type,
+           lang
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column model: opaque binary payload + typed metadata
+    struct (media_type, n_bytes, lang) — the blob+struct table shape
+    image/audio/video land in."""
+    media = M.attach_media_columns(io.table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.lang").alias("lang"),
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    tier="D",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(text, '[\\s\\S]'), c -> ascii(c)) AS cs,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           n_bytes,
+           CAST(cs[1] AS INT) AS first_byte,
+           CAST(list_sum(cs) % 1000000007 AS BIGINT) AS byte_checksum
+    FROM chars
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary columns via mapInPandas (Arrow
+    batch iterator — the real plumbing; decode is a documented stub,
+    operators/multimodal.py).  Scalar features are oracle-checked
+    (fixture text is pure ASCII so byte stats == char stats); the
+    vector column is exercised in tests."""
+    media = M.attach_media_columns(io.table(spark, sf_dir, "documents"))
+    feats = M.extract_features(media)
+    return feats.select("doc_id", "n_bytes", "first_byte", "byte_checksum")

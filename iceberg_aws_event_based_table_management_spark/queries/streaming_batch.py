@@ -1,0 +1,150 @@
+"""Tier C (part 5) — streaming operators (C40-C45).
+
+Each windowed operator runs the *same* Spark code path a streaming
+query uses (window/session_window/dropDuplicates) in batch mode, with
+a DuckDB batch-equivalent oracle; the true incremental runs (file
+replay -> memory sink) are covered by tests/test_streaming.py and the
+two rows-only queries at the bottom (C43/C44), which actually execute
+Structured Streaming inside the query callable.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config, io
+from ..registry import register
+from ..streaming import replay
+
+
+@register(
+    "stream_tumbling_commits_per_hour",
+    tier="C",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling_commits_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40: tumbling 1 h event-time window (the commit-rate signal);
+    batch equivalent of the streaming groupBy(window(...))."""
+    return replay.tumbling_counts(io.table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_event_rate",
+    tier="C",
+    oracle="""
+    WITH starts AS (
+      SELECT unnest([
+               CAST(date_trunc('hour', ts) AS TIMESTAMP),
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR
+             ]) AS window_start
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM starts GROUP BY window_start
+    """,
+)
+def stream_sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41: sliding window (2 h size, 1 h slide) — every event counts in
+    two windows; oracle expands the assignment explicitly."""
+    return replay.sliding_rate(io.table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_user_activity",
+    tier="C",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def stream_session_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42: gap-based session windows per user (session_window); oracle
+    is the lag+cumsum islands formulation — same semantics, window end
+    = last event + gap."""
+    return replay.session_windows(io.table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_event_ids",
+    tier="C",
+    oracle="""
+    WITH doubled AS (
+      SELECT * FROM events
+      UNION ALL
+      SELECT * FROM events WHERE event_id % 7 = 0
+    )
+    SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_id) AS n_unique
+    FROM (SELECT DISTINCT ON (event_id) * FROM doubled ORDER BY event_id)
+    GROUP BY user_id
+    """,
+)
+def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45: dedup by event_id over a stream with replayed duplicates
+    (every 7th event delivered twice) — dropDuplicates collapses them;
+    duplicate rows are identical so the pick is deterministic."""
+    ev = io.table(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("event_id").alias("n_unique"))
+    )
+
+
+@register("stream_watermark_latedrop", tier="C", oracle=None)
+def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43 (rows-only, real streaming): watermarked tumbling counts over
+    the file-replayed event stream (availableNow, memory sink).  With
+    in-order replay nothing falls behind the watermark, so the result
+    matches the batch tumbling counts — asserted in
+    tests/test_streaming.py; timing-dependent in general, hence no SQL
+    oracle (SURVEY SS5.2)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        out = replay.run_to_memory(
+            replay.watermarked_tumbling(replay.read_stream(spark, path, 2)),
+            f"wm_{abs(hash(sf_dir)) % 10_000}",
+        )
+        # materialize before the tempdir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@register("stream_should_optimize", tier="C", oracle=None)
+def stream_should_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44 (rows-only, real streaming): the trigger evaluator run
+    incrementally via foreachBatch over the replayed commit stream —
+    the A10 decision recomputed per micro-batch against accumulated
+    snapshot state; final state equals the batch decision (asserted in
+    tests/test_streaming.py)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        out = replay.run_stateful_trigger(
+            spark, path, tmp, now=config.NOW_LITERAL, files_per_trigger=4
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

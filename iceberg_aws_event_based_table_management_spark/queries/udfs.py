@@ -1,0 +1,122 @@
+"""Tier C (part 6) — the UDF/UDAF/UDTF surface (C46-C48).
+
+UDFs are the slow path; these queries exist to prove the Arrow-batched
+boundary works and produces results identical to the native (and
+oracle) formulation.  Each is the vectorized pandas variant — never
+row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import io
+from ..registry import register
+
+
+@register(
+    "udf_tablename_parse_parity",
+    tier="C",
+    oracle="""
+    WITH ids AS (
+      SELECT DISTINCT
+        'cat' || CAST(user_id % 3 AS VARCHAR) || '.db' || CAST(user_id % 5 AS VARCHAR)
+          || '.t' || CAST(user_id AS VARCHAR) AS full_name
+      FROM events
+    )
+    SELECT full_name,
+           array_to_string(string_split(full_name, '.')[2:], '.') AS table_identifier
+    FROM ids
+    """,
+)
+def udf_tablename_parse_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46: scalar pandas UDF — the A4 identifier parse
+    (AwsManageUtil.java:19-24) done on the Arrow path, hash-identical
+    to the native string-function version (and the oracle)."""
+
+    @F.pandas_udf(T.StringType())
+    def strip_catalog(names: pd.Series) -> pd.Series:
+        return names.str.split(".").str[1:].str.join(".")
+
+    ev = io.table(spark, sf_dir, "events")
+    ids = ev.select(
+        F.concat(
+            F.lit("cat"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(".db"),
+            (F.col("user_id") % 5).cast("string"),
+            F.lit(".t"),
+            F.col("user_id").cast("string"),
+        ).alias("full_name")
+    ).distinct()
+    return ids.select("full_name", strip_catalog("full_name").alias("table_identifier"))
+
+
+@register(
+    "udaf_weighted_avg",
+    tier="C",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS weighted_cents,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47: grouped-agg pandas UDF (quantity-weighted price) — computed
+    in exact integer cents inside the UDF so the Arrow aggregation is
+    order-independent and oracle-matchable."""
+
+    @F.pandas_udf("long")
+    def weighted_cents(price: pd.Series, qty: pd.Series) -> int:
+        cents = (price * 100 + 0.5).astype("int64")
+        return int((cents * qty.astype("int64")).sum())
+
+    @F.pandas_udf("long")
+    def qty_sum(qty: pd.Series) -> int:
+        return int(qty.astype("int64").sum())
+
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_cents("l_extendedprice", "l_quantity").alias("weighted_cents"),
+        qty_sum("l_quantity").alias("total_qty"),
+    )
+
+
+@register(
+    "udtf_binpack_per_table",
+    tier="C",
+    oracle=f"""
+    WITH files AS ({io.FILES_CTE})
+    SELECT table_name, file_path,
+           CAST(FLOOR((SUM(file_size_bytes) OVER (
+                  PARTITION BY table_name
+                  ORDER BY file_size_bytes DESC, file_path
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - file_size_bytes) / 200000000) AS BIGINT) AS group_id
+    FROM files
+    """,
+)
+def udtf_binpack_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48: grouped-map applyInPandas — the binpack planner as a
+    per-table pandas function (imperative cumsum), provably identical
+    to the declarative window formulation (C26/B1).  The groupBy key
+    bounds each pandas batch to one table's file list — metadata-scale,
+    safe at 100 TB."""
+
+    def plan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["file_size_bytes", "file_path"], ascending=[False, True]
+        ).reset_index(drop=True)
+        cum_before = pdf["file_size_bytes"].cumsum() - pdf["file_size_bytes"]
+        pdf["group_id"] = (cum_before // 200_000_000).astype("int64")
+        return pdf[["table_name", "file_path", "group_id"]]
+
+    files = io.files(spark, sf_dir).select("table_name", "file_path", "file_size_bytes")
+    return files.groupBy("table_name").applyInPandas(
+        plan, schema="table_name string, file_path string, group_id long"
+    )

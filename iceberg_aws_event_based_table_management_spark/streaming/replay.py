@@ -1,0 +1,180 @@
+"""Event-stream replay + streaming operators (SURVEY.md SS2-C C40-C45).
+
+The reference's only input is a push event per catalog commit
+(`report(MetricsReport)`, AwsTableManagementMetricsEvaluator.java:64-65)
+delivered synchronously in-JVM.  Spark-first, that input is a
+Structured Streaming source; the fixture `events` table replays
+through a file-stream source so every streaming operator can be
+batch-equivalence-checked (SURVEY SS5.3).
+
+All sinks here are bounded (memory sink + processAllAvailable) so the
+operators are deterministic and testable; in production the same
+queries run unbounded with checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import io
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, workdir: str, n_chunks: int = 8) -> str:
+    """Materialize the events fixture as n_chunks time-ordered parquet
+    files so the file source replays them as micro-batches in event-time
+    order (the commit-log replay)."""
+    out = os.path.join(workdir, f"events-replay-{uuid.uuid4().hex}")
+    ev = io.table(spark, sf_dir, "events")
+    # time-ordered chunking: ntile over ts gives contiguous time ranges
+    chunk = F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    ev.withColumn("chunk", chunk).repartitionByRange(n_chunks, "chunk").write.partitionBy(
+        "chunk"
+    ).mode("overwrite").parquet(out)
+    return out
+
+
+def read_stream(spark: SparkSession, replay_path: str, files_per_trigger: int = 1) -> DataFrame:
+    # fresh copy — StructType.add mutates in place, which would pollute
+    # the shared EVENT_SCHEMA across calls
+    schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("chunk", T.IntegerType())])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(replay_path)
+    )
+    return src.drop("chunk")
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Run a bounded streaming query to a memory sink, process all
+    available input, stop, and return the sink table.
+
+    Aggregating streams default to `complete` mode: the memory sink
+    then holds exactly the final state.  (`update` would append one row
+    per in-flight window per trigger — duplicated windows whenever a
+    window spans micro-batches.)  Non-aggregating streams (dedup) must
+    pass output_mode="append".
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- C40-C42: event-time windows ------------------------------------------
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """C40: tumbling 1 h window counts (batch equivalent: date_trunc)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def sliding_rate(events: DataFrame) -> DataFrame:
+    """C41: sliding 2 h window every 1 h (each event lands in 2 windows)."""
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """C42: session windows per user (gap-based)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermarked_tumbling(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """C43: watermark + tumbling window — late rows beyond the watermark
+    are dropped; with the time-ordered replay nothing is late, so the
+    result equals tumbling_counts (asserted in tests)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """C45: exactly-once by event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+# --- C44: the trigger evaluator as an incremental stream ------------------
+
+
+def run_stateful_trigger(
+    spark: SparkSession,
+    replay_path: str,
+    state_dir: str,
+    *,
+    now: str,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """C44: the reference's evaluator run incrementally — each
+    micro-batch appends to a snapshot-state table and re-evaluates the
+    batch decision (A10) over accumulated state via foreachBatch.
+
+    This is the Spark-native analog of the per-commit `report()`
+    callback: state lives in a table, the decision is the same
+    declarative query, and the stream just drives incremental
+    accumulation.  Returns the final decision DataFrame.
+    """
+    from ..operators import trigger
+
+    os.makedirs(state_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, "snapshots_state")
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snaps = batch_df.select(
+            F.concat(F.lit("t"), F.col("user_id").cast("string")).alias("table_name"),
+            F.col("event_id").alias("snapshot_id"),
+            F.col("ts"),
+            F.col("event_type").alias("operation"),
+        )
+        snaps.write.mode("append").parquet(state_path)
+
+    q = (
+        read_stream(spark, replay_path, files_per_trigger)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return trigger.decide_optimize(spark.read.parquet(state_path), now=now)

@@ -1,0 +1,74 @@
+"""Batch-equivalence tests for streaming operators (SURVEY.md SS5.3):
+run each streaming query over the file-replayed events fixture and
+compare against the batch DataFrame result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_aws_event_based_table_management_spark import io
+from iceberg_aws_event_based_table_management_spark.operators import trigger
+from iceberg_aws_event_based_table_management_spark.streaming import replay
+
+
+@pytest.fixture(scope="module")
+def replay_path(spark, sf_dir, tmp_path_factory):
+    return replay.replay_dir(spark, sf_dir, str(tmp_path_factory.mktemp("replay")))
+
+
+def _sorted_rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, replay_path):
+    stream_out = replay.run_to_memory(
+        replay.tumbling_counts(replay.read_stream(spark, replay_path, 2)), "t_tumbling"
+    )
+    batch_out = replay.tumbling_counts(io.table(spark, sf_dir, "events"))
+    assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
+
+
+def test_stream_session_equals_batch(spark, sf_dir, replay_path):
+    stream_out = replay.run_to_memory(
+        replay.session_windows(replay.read_stream(spark, replay_path, 2)), "t_session"
+    )
+    batch_out = replay.session_windows(io.table(spark, sf_dir, "events"))
+    assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
+
+
+def test_stream_watermark_no_late_data_equals_batch(spark, sf_dir, replay_path):
+    """In-order replay -> watermark drops nothing -> equals batch."""
+    stream_out = replay.run_to_memory(
+        replay.watermarked_tumbling(replay.read_stream(spark, replay_path, 1)), "t_wm"
+    )
+    batch_out = replay.tumbling_counts(io.table(spark, sf_dir, "events"))
+    assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
+
+
+def test_stream_dedup_drops_replayed_duplicates(spark, sf_dir, tmp_path):
+    ev = io.table(spark, sf_dir, "events")
+    dup_dir = str(tmp_path / "dups")
+    # write original + duplicates of every 7th event as extra files
+    ev.coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    ev.filter(F.col("event_id") % 7 == 0).coalesce(1).write.mode("append").parquet(dup_dir)
+    src = (
+        spark.readStream.schema(replay.EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(dup_dir)
+    )
+    # watermark wider than the replay horizon: file listing order is
+    # arbitrary, so a narrow watermark could drop the original events
+    # as "late" if the duplicate file happens to be read first.
+    out = replay.run_to_memory(
+        replay.stream_dedup(src, watermark="2400 hours"), "t_dedup", output_mode="append"
+    )
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_trigger_equals_batch_decision(spark, sf_dir, replay_path, tmp_path):
+    now = "2024-01-31 00:00:00"
+    stream_decision = replay.run_stateful_trigger(
+        spark, replay_path, str(tmp_path / "state"), now=now, files_per_trigger=3
+    )
+    batch_decision = trigger.decide_optimize(io.snapshots(spark, sf_dir), now=now)
+    assert _sorted_rows(stream_decision) == _sorted_rows(batch_decision)
