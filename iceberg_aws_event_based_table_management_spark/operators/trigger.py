@@ -68,16 +68,29 @@ def decide_optimize(
     decision is reproducible (and oracle-checkable).
     """
     now_ms = F.unix_millis(F.lit(now).cast("timestamp"))
-    pending = pending_since_replace(snapshots, replace_op=replace_op)
-    agg = pending.groupBy("table_name").agg(
-        F.count("*").alias("n_pending"),
-        F.max(now_ms - F.unix_millis(F.col("ts"))).alias("max_age"),
+    # One-pass formulation: flag pending rows inside the ranked lineage
+    # and aggregate conditionally — the groupBy naturally covers tables
+    # with zero pending commits, so no distinct + left join is needed
+    # (one shuffle on table_name total; both window functions share the
+    # same exchange).
+    ranked = rank_lineage(snapshots)
+    w = Window.partitionBy("table_name")
+    replace_rank = F.min(
+        F.when(F.col("operation") == F.lit(replace_op), F.col("lineage_rank"))
+    ).over(w)
+    flagged = ranked.withColumn(
+        "is_pending",
+        replace_rank.isNull() | (F.col("lineage_rank") < replace_rank),
     )
-    all_tables = snapshots.select("table_name").distinct()
-    joined = all_tables.join(agg, "table_name", "left")
+    agg = flagged.groupBy("table_name").agg(
+        F.count(F.when(F.col("is_pending"), 1)).alias("n_pending"),
+        F.max(
+            F.when(F.col("is_pending"), now_ms - F.unix_millis(F.col("ts")))
+        ).alias("max_age"),
+    )
     n = F.coalesce(F.col("n_pending"), F.lit(0))
     age = F.coalesce(F.col("max_age"), F.lit(-1)).cast("long")
-    return joined.select(
+    return agg.select(
         F.col("table_name"),
         n.alias("n_commits_since_replace"),
         age.alias("max_pending_age_ms"),

@@ -79,7 +79,7 @@ _GRAMS_CTE = r"""
   ),
   grams AS (
     SELECT DISTINCT doc_id, lang, array_to_string(w[i:i+2], ' ') AS shingle
-    FROM ws, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+    FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
   ),
   gramsf AS (SELECT * FROM grams WHERE shingle <> '')
 """

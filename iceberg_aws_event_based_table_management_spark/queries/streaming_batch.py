@@ -115,6 +115,24 @@ def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_events_ingest", tier="C", oracle=None)
+def stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 (rows-only, real streaming): the raw streaming source->sink
+    path — replay the events fixture through the file-stream source
+    into a memory sink and return per-type counts; equals the batch
+    scan by construction (the A1 ingest, run as an actual stream)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        counts = (
+            replay.read_stream(spark, path, 2)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        out = replay.run_to_memory(counts, f"ingest_{abs(hash(sf_dir)) % 10_000}")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
 @register("stream_watermark_latedrop", tier="C", oracle=None)
 def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C43 (rows-only, real streaming): watermarked tumbling counts over

@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the 100 TB posture, locked in as tests.
+
+These don't check results (the oracle does); they check that Catalyst
+produces the plan shape that survives a 1000-executor scale-up:
+filters pushed to the scan, columns pruned, small dims broadcast,
+top-k as TakeOrderedAndProject, the flagship in one shuffle, and no
+accidental cartesian joins in the pairwise operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import iceberg_aws_event_based_table_management_spark as engine
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    engine.load_all_queries()
+    return engine.query_map()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, qmap):
+    plan = _formatted(qmap["scan_pushdown_filter"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_projection_prunes_columns(spark, sf_dir, qmap):
+    plan = _plan(qmap["scan_projection"](spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" in scan_line and "l_extendedprice" in scan_line
+    assert "l_shipdate" not in scan_line, "scan reads columns the query never uses"
+
+
+def test_dim_join_broadcasts(spark, sf_dir, qmap):
+    plan = _plan(qmap["join_inner_orders_customer"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan2 = _plan(qmap["join_broadcast_nation_region"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_topk_avoids_global_sort(spark, sf_dir, qmap):
+    plan = _plan(qmap["topk_orders_by_price"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_single_shuffle(spark, sf_dir, qmap):
+    """decide_optimize: both windows + the aggregation must share one
+    hash exchange on table_name."""
+    plan = _plan(qmap["should_optimize_decision"](spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+
+
+def test_pairwise_ops_never_cartesian(spark, sf_dir, qmap):
+    for name in ("similarity_threshold_pairs", "dedup_ngram_jaccard", "topk_per_group"):
+        plan = _plan(qmap[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+
+
+def test_range_join_broadcasts_band_side(spark, sf_dir, qmap):
+    """Non-equi join against the constant-size band table must be a
+    broadcast nested loop (small side broadcast), never a cartesian
+    shuffle."""
+    plan = _plan(qmap["join_range_events_windows"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
