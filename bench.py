@@ -6,11 +6,10 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect).  Timings include Catalyst planning but exclude
-session startup and JVM/codegen warmup: every headline query is first
-executed once at sf0.001 (same plan shape, negligible data) so the
-reported numbers are steady-state throughput, not JIT compile time —
-standard benchmark practice, and the regime that matters at 100 TB
-where each plan runs for minutes, not milliseconds.
+session startup and JVM/codegen warmup: every headline query runs
+twice and the second run is reported — steady-state throughput, not
+JIT compile time.  That is the regime that matters at 100 TB, where
+each plan runs for minutes and codegen compilation is noise.
 """
 
 from __future__ import annotations
@@ -52,18 +51,12 @@ def main() -> None:
     spark = get_spark("ebtm-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + IO path + per-query codegen (excluded from timings):
-    # run each headline plan once at the smallest SF so whole-stage
-    # codegen and broadcast machinery are compiled before measurement
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # warm the JVM + IO path once (excluded from timings)
     qmap["scan_parquet"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for name in HEADLINE:
-        qmap[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm codegen
         t0 = time.perf_counter()
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
