@@ -132,11 +132,15 @@ def jaccard_pairs(sh: DataFrame, block: DataFrame | None = None, threshold: floa
     The shingle join is the selective path: only co-occurring shingles
     produce pairs.
 
-    The shingle table feeds three plan branches (sizes + both join
-    sides); localCheckpoint materializes the expensive extraction once
-    instead of recomputing it per branch.  (On a cluster this is an
-    executor-local materialization — no driver traffic.)"""
-    sh = sh.localCheckpoint(eager=False)
+    Two scale moves: (1) the join key is xxhash64(shingle) — an 8-byte
+    fixed-width key instead of a 20-30-byte string, which roughly
+    halves shuffle bytes and hash-probe cost (collisions at 64 bits
+    are ~n^2/2^64, negligible even at 100 TB shingle counts);
+    (2) the shingle table feeds three plan branches (sizes + both join
+    sides), so localCheckpoint materializes the expensive extraction
+    once instead of recomputing it per branch.  (On a cluster this is
+    an executor-local materialization — no driver traffic.)"""
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
