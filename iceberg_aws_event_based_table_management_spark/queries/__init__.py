@@ -11,6 +11,7 @@ def load() -> None:
         return
     from . import (  # noqa: F401
         aggregates,
+        composite,
         control_plane,
         dedup,
         maintenance,
