@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import config, io
@@ -150,6 +150,32 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the tempdir vanishes
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@register("stream_stateful_trigger", tier="C", oracle=None)
+def stream_stateful_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44 (rows-only, real streaming, managed state): the trigger
+    evaluator as an applyInPandasWithState operator — per-table
+    (count, oldest-pending-ts) state in Spark's state store, decision
+    emitted in update mode per micro-batch.  The final emission per
+    table (max n_commits_seen) equals the batch A10 decision, asserted
+    in tests/test_streaming.py."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        stream = replay.stateful_trigger_stream(
+            replay.read_stream(spark, path, 2), now=config.NOW_LITERAL
+        )
+        sink = replay.run_to_memory(
+            stream, f"stateful_trig_{abs(hash(sf_dir)) % 10_000}", output_mode="update"
+        )
+        w = Window.partitionBy("table_name").orderBy(F.desc("n_commits_seen"))
+        final = (
+            sink.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "n_commits_seen")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
 
 
 @register("stream_should_optimize", tier="C", oracle=None)

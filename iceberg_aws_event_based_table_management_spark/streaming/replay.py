@@ -138,6 +138,113 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 # --- C44: the trigger evaluator as an incremental stream ------------------
 
 
+def stateful_trigger_stream(
+    events: DataFrame,
+    *,
+    now: str,
+    commit_threshold: int | None = None,
+    time_threshold_ms: int | None = None,
+) -> DataFrame:
+    """C44 (managed-state form): ``shouldOptimizeDataFiles``
+    (AwsTableManagementMetricsEvaluator.java:108-140) as a custom
+    stateful operator via ``applyInPandasWithState`` — per-table state
+    is (pending-commit count, oldest pending ts), updated per
+    micro-batch, with the trigger decision emitted in update mode.
+
+    Unlike the foreachBatch form (run_stateful_trigger), state lives in
+    Spark's state store (checkpointed, partitioned by table) rather
+    than an external table, and no history is reprocessed per batch:
+    the true incremental analog of the reference's per-commit callback,
+    and the shape that scales to unbounded commit streams.  Per-table
+    state is the pending-commit set plus the newest-REPLACE watermark
+    — O(commits since last optimize), i.e. ~commit-threshold entries —
+    so arrival order across micro-batches doesn't matter: a REPLACE
+    arriving after newer commits still evicts exactly the commits the
+    batch evaluator's lineage rank would cut.  Batch equivalence is
+    asserted in tests/test_streaming.py.
+    """
+    import pandas as pd
+
+    from .. import config
+
+    ct = commit_threshold if commit_threshold is not None else config.COMMIT_THRESHOLD
+    tt = time_threshold_ms if time_threshold_ms is not None else config.TIME_THRESHOLD_MS
+    now_ms = int(pd.Timestamp(now, tz="UTC").value // 1_000_000)
+    replace_op = config.REPLACE_OPERATION
+
+    out_schema = T.StructType(
+        [
+            T.StructField("table_name", T.StringType()),
+            T.StructField("n_commits_seen", T.LongType()),  # monotonic high-watermark
+            T.StructField("n_commits_since_replace", T.LongType()),
+            T.StructField("max_pending_age_ms", T.LongType()),
+            T.StructField("time_trigger", T.BooleanType()),
+            T.StructField("commit_trigger", T.BooleanType()),
+            T.StructField("should_optimize", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("replace_ts_ms", T.LongType()),  # newest REPLACE watermark
+            T.StructField("replace_id", T.LongType()),  # (-1,-1) = none yet
+            T.StructField("pending_ts_ms", T.ArrayType(T.LongType())),
+            T.StructField("pending_id", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (table_name,) = key
+        if state.exists:
+            seen, r_ts, r_id, p_ts, p_id = state.get
+            pending = list(zip(p_ts, p_id))
+        else:
+            seen, r_ts, r_id, pending = 0, -1, -1, []
+        for pdf in pdfs:
+            seen += len(pdf)
+            for op, ts, sid in zip(pdf["operation"], pdf["ts"], pdf["snapshot_id"]):
+                ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+                if op == replace_op:
+                    if (ts_ms, sid) > (r_ts, r_id):
+                        r_ts, r_id = ts_ms, int(sid)
+                else:
+                    pending.append((ts_ms, int(sid)))
+        # pending = commits strictly newer than the REPLACE watermark in
+        # the lineage order (ts, id) — the rank formulation's cut line
+        pending = [p for p in pending if p > (r_ts, r_id)]
+        state.update(
+            (seen, r_ts, r_id, [p[0] for p in pending], [p[1] for p in pending])
+        )
+        n = len(pending)
+        oldest = min((p[0] for p in pending), default=-1)
+        age = (now_ms - oldest) if oldest != -1 else -1
+        yield pd.DataFrame(
+            {
+                "table_name": [table_name],
+                "n_commits_seen": [seen],
+                "n_commits_since_replace": [n],
+                "max_pending_age_ms": [age],
+                "time_trigger": [age >= tt],
+                "commit_trigger": [n >= ct],
+                "should_optimize": [age >= tt or n >= ct],
+            }
+        )
+
+    snaps = events.select(
+        F.concat(F.lit("t"), F.col("user_id").cast("string")).alias("table_name"),
+        F.col("event_id").alias("snapshot_id"),
+        F.col("ts"),
+        F.col("event_type").alias("operation"),
+    )
+    return snaps.groupBy("table_name").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stateful_trigger(
     spark: SparkSession,
     replay_path: str,

@@ -72,3 +72,25 @@ def test_stateful_trigger_equals_batch_decision(spark, sf_dir, replay_path, tmp_
     )
     batch_decision = trigger.decide_optimize(io.snapshots(spark, sf_dir), now=now)
     assert _sorted_rows(stream_decision) == _sorted_rows(batch_decision)
+
+
+def test_applyinpandaswithstate_trigger_equals_batch_decision(spark, sf_dir, replay_path):
+    """The managed-state evaluator (applyInPandasWithState, update
+    mode): the last emission per table must equal the batch A10
+    decision row for that table."""
+    from pyspark.sql import Window
+
+    now = "2024-01-31 00:00:00"
+    sink = replay.run_to_memory(
+        replay.stateful_trigger_stream(replay.read_stream(spark, replay_path, 2), now=now),
+        "t_state_trig",
+        output_mode="update",
+    )
+    w = Window.partitionBy("table_name").orderBy(F.desc("n_commits_seen"))
+    final = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "n_commits_seen")
+    )
+    batch_decision = trigger.decide_optimize(io.snapshots(spark, sf_dir), now=now)
+    assert _sorted_rows(final) == _sorted_rows(batch_decision)
