@@ -174,6 +174,98 @@ def ann_topk_lsh(
     return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
 
 
+def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
+    """Index of the max-dot-product centroid (centroids unit-norm)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(v, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored)["i"]
+
+
+def ivf_train(embeddings: DataFrame, k_clusters: int = 16, iters: int = 2) -> list[list[float]]:
+    """Train an IVF coarse quantizer: spherical k-means over the corpus,
+    expressed as DataFrame ops (assign = broadcast-literal argmax dot;
+    re-estimate = posexplode + groupBy(cluster, pos) mean).  Only the
+    K centroid vectors ever reach the driver — O(K x dim) metadata, the
+    bounded-driver rule at any corpus size.
+
+    Deterministic: seeds are the K lowest vec_ids; means are exact
+    (decimal-free long counts, double sums are per-(cluster,pos) and
+    re-normalized, so tiny float drift can't flip assignments in
+    practice)."""
+    e = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    unit = e.select(
+        "vec_id", F.transform("v", lambda x: x / norm(F.col("v"))).alias("v")
+    )
+    seeds = unit.orderBy("vec_id").limit(k_clusters).collect()
+    centroids = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = unit.withColumn("c", _nearest_centroid(F.col("v"), centroids))
+        means = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_c = {r["c"]: list(r["centroid"]) for r in means}
+        new = []
+        for i, old in enumerate(centroids):
+            c = by_c.get(i, old)  # empty cluster keeps its old centroid
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            new.append([x / n for x in c])
+        centroids = new
+    return centroids
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """D3 scale path, IVF flavor: coarse-quantize the corpus into
+    k_clusters inverted lists, probe the nprobe lists nearest the
+    query, exact cosine re-rank inside the probed lists only.
+
+    At 100 TB the assignment column is written once at ingest (and the
+    table partitioned/bucketed by it), so a query scans ~nprobe/K of
+    the corpus — partition pruning does the work, not a full pass."""
+    if centroids is None:
+        centroids = ivf_train(embeddings, k_clusters)
+    e = embeddings.select("vec_id", "label", as_double("embedding").alias("v"))
+    assigned = e.withColumn("cluster_id", _nearest_centroid(F.col("v"), centroids))
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    qunit = [x / qn for x in query_vec]
+    probe_order = sorted(
+        range(len(centroids)),
+        key=lambda i: -sum(a * b for a, b in zip(qunit, centroids[i])),
+    )
+    probes = probe_order[:nprobe]
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cluster_id").isin(probes))
+        .select("vec_id", "label", F.round(cosine(F.col("v"), qcol), 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate detection (dedup family): pairs
     above tau inside label blocks; survivors = min vec_id per

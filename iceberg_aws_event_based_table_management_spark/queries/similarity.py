@@ -69,6 +69,19 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_topk_ivf", tier="D", oracle=None)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale path, IVF flavor (rows-only — approximate by design):
+    spherical-k-means coarse quantizer trained in DataFrame ops, probe
+    the 4 nearest of 16 inverted lists, exact re-rank inside probes.
+    Recall vs brute force is asserted in tests/test_dedup_similarity.py;
+    at 100 TB the cluster id is a partition key and probing = partition
+    pruning."""
+    return S.ann_topk_ivf(
+        io.table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=20
+    )
+
+
 @register(
     "similarity_threshold_pairs",
     tier="D",

@@ -88,3 +88,16 @@ def test_multimodal_feature_extract_shapes(spark, sf_dir):
 
 def test_multimodal_decode_stub_is_passthrough():
     assert M.decode_media(b"abc") == b"abc"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF probe of 8/16 inverted lists must recall most of the exact
+    top-10 (scanning ~half the corpus on near-random fixture vectors)."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in S.topk_bruteforce(emb, q, 10).collect()]
+    approx = {
+        r["vec_id"] for r in S.ann_topk_ivf(emb, q, k=50, k_clusters=16, nprobe=8).collect()
+    }
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
