@@ -291,3 +291,29 @@ def window_ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
     )
+
+
+@register(
+    "agg_salted_two_stage",
+    tier="C",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage salted aggregation (operators/skew.py):
+    groupBy(key, salt) partial then groupBy(key) final — exactly equal
+    to the one-stage result (long accumulators are order-independent),
+    while a hot key's rows spread over 16 reducers instead of one.
+    The oracle is the PLAIN one-stage SQL: the salting must be
+    invisible in the result."""
+    from ..operators.skew import salted_sum_count
+
+    li = io.table(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li, "l_suppkey", F.floor("l_quantity").cast("long"), salt_buckets=16
+    )
+    return out.select("l_suppkey", F.col("total").cast("long").alias("total"), "n_rows")

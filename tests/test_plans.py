@@ -77,3 +77,42 @@ def test_range_join_broadcasts_band_side(spark, sf_dir, qmap):
     plan = _plan(qmap["join_range_events_windows"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a recurring join on the join key makes
+    the join shuffle-free — the 100 TB move for repeated fact-dim
+    joins: pay the partitioned write once, skip the exchange on every
+    subsequent join.  Locked in: the bucketed join plan must contain
+    NO hash exchange; the same join unbucketed must contain some."""
+    from iceberg_aws_event_based_table_management_spark import io as eio
+
+    orders = eio.table(spark, sf_dir, "orders")
+    cust = eio.table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", str(tmp_path / "b_orders")).saveAsTable("b_orders"))
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", str(tmp_path / "b_customer")).saveAsTable("b_customer"))
+    # force the shuffle-join path so the assertion is about bucketing,
+    # not about AQE choosing broadcast on toy-sized inputs
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bc = spark.table("b_orders"), spark.table("b_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy("c_mktsegment").count()
+        joined.write.format("noop").mode("overwrite").save()
+        plan = _plan(joined)
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("HashAggregate")[-1]  # below the agg: the join + scans
+        assert "Exchange" not in join_section, f"bucketed join still shuffles:\n{plan}"
+        # control: the same join over the raw parquet must shuffle both sides
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+            "c_mktsegment"
+        ).count()
+        assert _plan(plain).count("Exchange hashpartitioning") >= 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
