@@ -183,3 +183,51 @@ def compact_table(
         rows_after=rows_after,
         replace_snapshot_ids=replace_ids,
     )
+
+
+def zorder_value(cols: list, bits: int = 16, *, mins: dict | None = None, ranges: dict | None = None):
+    """Z-order (Morton) curve value over 2+ numeric columns — the
+    clustering key behind Iceberg's `rewrite_data_files(strategy =>
+    'sort', sort_order => 'zorder(a, b)')`, computed Spark-side.
+
+    Each column is scaled to a [0, 2^bits) integer via (val - min) *
+    2^bits / (range + 1) — an order-preserving equi-width bucketing
+    that needs only per-column min/max (one cheap stats pass, no
+    global ranking window) — then the bucket bits are interleaved.
+    Sorting / range-partitioning by the result places rows that are
+    close in ALL dimensions into the same files, so predicates on any
+    clustered column prune most files at scan time.
+
+    `mins`/`ranges` map column name -> precomputed stats (driver
+    scalars).  Returns a Column; callers sort or repartitionByRange on
+    it.
+    """
+    assert mins is not None and ranges is not None
+    scaled = []
+    for c in cols:
+        lo, rng = mins[c], ranges[c]
+        scaled.append(
+            F.least(
+                F.lit(2**bits - 1),
+                F.floor(((F.col(c) - F.lit(lo)) * F.lit(2**bits)) / F.lit(rng + 1)),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * len(cols) + j)
+    return z
+
+
+def zorder_value_sql(cols: list, bits: int = 16, *, mins: dict, ranges: dict) -> str:
+    """The identical z-value formula as DuckDB SQL (oracle parity)."""
+    scaled = [
+        f"CAST(LEAST({2**bits - 1}, FLOOR((({c}) - ({mins[c]})) * {2**bits} / ({ranges[c]} + 1))) AS BIGINT)"
+        for c in cols
+    ]
+    terms = []
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            terms.append(f"((({s} >> {i}) & 1) << {i * len(cols) + j})")
+    return "(" + " + ".join(terms) + ")"

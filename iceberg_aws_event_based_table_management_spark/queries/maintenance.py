@@ -116,3 +116,55 @@ def sort_compaction_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", "l_shipdate", F.row_number().over(w).alias("write_order")
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.maintenance import zorder_value_sql
+
+    mins = {c: f"(SELECT MIN({c}) FROM lineitem)" for c in ("l_partkey", "l_suppkey")}
+    ranges = {
+        c: f"((SELECT MAX({c}) FROM lineitem) - (SELECT MIN({c}) FROM lineitem))"
+        for c in ("l_partkey", "l_suppkey")
+    }
+    zv = zorder_value_sql(["l_partkey", "l_suppkey"], bits=8, mins=mins, ranges=ranges)
+    return f"""
+    SELECT ({zv} >> 8) AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM lineitem
+    GROUP BY 1
+    """
+
+
+@register("sort_compaction_zorder", tier="B", oracle=_zorder_oracle())
+def sort_compaction_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (z-order flavor): the clustering key behind Iceberg's
+    `rewrite_data_files(strategy => 'sort', sort_order =>
+    'zorder(l_partkey, l_suppkey)')` — Morton-interleave the two
+    equi-width-bucketed keys, then aggregate per z-bucket (the
+    per-output-file key-range stats a z-ordered rewrite produces;
+    both dimensions' ranges shrink together, which is what makes
+    multi-column scan pruning work).  Two passes: a scalar min/max
+    stats agg, then map-side bit math — no global ranking window, so
+    it scales to any row count."""
+    from ..operators.maintenance import zorder_value
+
+    li = io.table(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    mins = {"l_partkey": int(st[0]), "l_suppkey": int(st[2])}
+    ranges = {"l_partkey": int(st[1]) - int(st[0]), "l_suppkey": int(st[3]) - int(st[2])}
+    zv = zorder_value(["l_partkey", "l_suppkey"], bits=8, mins=mins, ranges=ranges)
+    return (
+        li.withColumn("zbucket", F.shiftright(zv, 8))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )

@@ -112,3 +112,58 @@ def test_end_to_end_evaluate_and_optimize(spark, small_table):
 def test_load_executor_unknown_impl_raises(spark):
     with pytest.raises(ValueError, match="Cannot initialize Executor"):
         jobs.load_executor("org.example.DoesNotExist")
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """z(x, y) must interleave the scaled bucket bits: with mins=0 and
+    range 2^bits-1 the scaling is identity, so z(x,y) is the classic
+    Morton number (x even bits, y odd bits)."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (255, 255)], "x long, y long"
+    )
+    zv = maintenance.zorder_value(
+        ["x", "y"], bits=8, mins={"x": 0, "y": 0}, ranges={"x": 255, "y": 255}
+    )
+    got = {(r["x"], r["y"]): r["z"] for r in df.withColumn("z", zv).collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), f"z({x},{y}) = {z}, want {morton(x, y)}"
+
+
+def test_zorder_sort_clusters_both_dimensions(spark, sf_dir):
+    """Range-splitting a z-ordered sort must shrink BOTH key ranges per
+    chunk vs a single-column sort (the multi-dimensional clustering
+    property that makes z-order rewrites prune on every clustered
+    column)."""
+    li = io.table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    st = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    mins = {"l_partkey": int(st[0]), "l_suppkey": int(st[2])}
+    ranges = {"l_partkey": int(st[1]) - int(st[0]), "l_suppkey": int(st[3]) - int(st[2])}
+    zv = maintenance.zorder_value(["l_partkey", "l_suppkey"], bits=8, mins=mins, ranges=ranges)
+    n_chunks = 64
+    from pyspark.sql import Window
+
+    chunk = F.ntile(n_chunks).over(Window.orderBy(zv, "l_partkey", "l_suppkey"))
+    spans = (
+        li.withColumn("chunk", chunk)
+        .groupBy("chunk")
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pspan"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("sspan"),
+        )
+        .agg(F.avg("pspan").alias("p"), F.avg("sspan").alias("s"))
+        .collect()[0]
+    )
+    # unsorted-baseline span ~ full key range; z-order chunks must be
+    # far tighter on BOTH dimensions simultaneously
+    assert spans["p"] < ranges["l_partkey"] * 0.5, spans
+    assert spans["s"] < ranges["l_suppkey"] * 0.5, spans
