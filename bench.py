@@ -33,6 +33,8 @@ HEADLINE = [
     "window_rank_orders_per_cust",
     "topk_orders_by_price",
     "binpack_group_assignment",
+    "composite_shipping_priority",
+    "pipeline_training_corpus",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "topk_similarity_bruteforce",

@@ -146,3 +146,104 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % 1_000_000_007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "pipeline_training_corpus",
+    tier="D",
+    oracle=rf"""
+    WITH duped AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM duped GROUP BY sha256(text)
+    ),
+    corpus AS (
+      SELECT d.doc_id, d.lang, d.text FROM duped d JOIN survivors s ON d.doc_id = s.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  w -> w IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop
+      FROM corpus
+    ),
+    quality AS (
+      SELECT doc_id, lang, text,
+             ROUND(0.4 * least(n_words / 100.0, 1.0)
+                 + 0.4 * least(n_stop / greatest(n_words, 1.0) * 4, 1.0)
+                 + 0.2 * (1 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0)), 6) AS q
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc_id, lang, q,
+             len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens
+      FROM quality WHERE q >= 0.5
+    )
+    SELECT k.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(q * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*), 6) AS avg_quality,
+           COUNT(e.vec_id) AS n_with_embedding
+    FROM kept k LEFT JOIN embeddings e ON k.doc_id = e.vec_id
+    GROUP BY k.lang
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship Tier-D composition — the training-data pipeline end to
+    end: re-ingested corpus -> exact dedup (sha256 survivor) ->
+    quality filter (q >= 0.5) -> token counting -> embedding coverage
+    join -> per-language corpus stats.  Every stage is the registered
+    operator it names (dedup_exact_documents, text_quality_score,
+    text_token_stats, multimodal_join_docs_embeddings); the pipeline
+    proves they compose.  One shuffle per stage boundary that needs
+    one (dedup groupBy, final groupBy); the quality/token maps are
+    shuffle-free; the embedding join broadcasts at small sf and
+    shuffles on doc_id at scale.  avg_quality accumulates as unscaled
+    longs (order-independent, see aggregates.py)."""
+    from ..operators import dedup as D
+    from ..operators import text as TXo
+
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    duped = docs.unionByName(dups)
+
+    survivors = duped.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    corpus = duped.join(survivors.select("doc_id"), "doc_id", "left_semi")
+
+    q = TXo.quality_score(corpus).select("doc_id", "quality_score")
+    toks = TXo.token_stats(corpus.withColumn("source", F.lit(""))).select(
+        "doc_id", "n_tokens"
+    )
+    kept = (
+        corpus.join(q, "doc_id")
+        .join(toks, "doc_id")
+        .filter(F.col("quality_score") >= 0.5)
+    )
+    emb = io.table(spark, sf_dir, "embeddings").select(F.col("vec_id"))
+    return (
+        kept.join(emb, kept.doc_id == emb.vec_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.round(F.col("quality_score") * 1_000_000, 0).cast("long")).cast(
+                    "double"
+                )
+                / 1_000_000.0
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+            F.count("vec_id").alias("n_with_embedding"),
+        )
+    )
