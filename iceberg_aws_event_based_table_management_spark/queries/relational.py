@@ -355,3 +355,89 @@ def join_self_snapshot_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev.snapshot_id").alias("prev_snapshot_id"),
         (F.unix_millis(F.col("cur.ts")) - F.unix_millis(F.col("prev.ts"))).alias("gap_ms"),
     )
+
+
+@register(
+    "agg_pivot_status_matrix",
+    tier="C",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): order counts by priority x status.  The value
+    list is passed explicitly — at scale an unlisted pivot needs a
+    distinct pass first; pinning the columns keeps it one aggregation
+    with no extra job."""
+    return (
+        io.table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@register(
+    "filter_scalar_subquery",
+    tier="C",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 FROM orders)
+    """,
+)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders above 1.5x the mean price.
+    Catalyst plans the subquery as its own tiny aggregate and reuses
+    the scalar — no per-row recomputation.  (The mean is computed on
+    cent-longs so both engines compare against the identical double.)"""
+    o = io.table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _orders_ssq
+        WHERE o_totalprice > 1.5 * (SELECT AVG(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 FROM _orders_ssq)
+        """
+    )
+
+
+@register(
+    "filter_correlated_exists",
+    tier="C",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def filter_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst decorrelates it into a
+    left-semi join on the correlation key (the same plan
+    join_semi_customers_with_orders builds by hand), so it scales as a
+    plain shuffled semi-join."""
+    io.table(spark, sf_dir, "customer").createOrReplaceTempView("_cust_ce")
+    io.table(spark, sf_dir, "orders").createOrReplaceTempView("_ord_ce")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _cust_ce c
+        WHERE EXISTS (
+          SELECT 1 FROM _ord_ce o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """
+    )
