@@ -193,3 +193,62 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.attach_media_columns(io.table(spark, sf_dir, "documents"))
     feats = M.extract_features(media)
     return feats.select("doc_id", "n_bytes", "first_byte", "byte_checksum")
+
+
+@register(
+    "multimodal_resize",
+    tier="D",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes_before,
+           LEAST(octet_length(encode(text)), 256) AS n_bytes_after
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary media (mapInPandas, 1->1): byte caps
+    are oracle-checked; the real decoder/scaler slots into
+    operators/multimodal.py:resize_media."""
+    media = M.attach_media_columns(io.table(spark, sf_dir, "documents"))
+    return M.resize_media(media, target_bytes=256).select(
+        "doc_id", "n_bytes_before", "n_bytes_after"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    tier="D",
+    oracle=r"""
+    WITH lens AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS len
+      FROM documents
+    ),
+    ks AS (
+      SELECT doc_id, text, len, k
+      FROM lens, UNNEST(generate_series(0, 3)) AS t(k)
+      WHERE k < CASE WHEN len >= 64 THEN 4 ELSE len // 64 END
+    ),
+    frames AS (
+      SELECT doc_id, CAST(k AS INT) AS frame_idx,
+             substr(text,
+                    CAST(CASE WHEN len >= 64 THEN (k * (len - 64)) // 3
+                              ELSE k * 64 END AS BIGINT) + 1,
+                    64) AS frame
+      FROM ks
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(frame) AS BIGINT) AS frame_n_bytes,
+           CAST(list_sum(list_transform(regexp_extract_all(frame, '[\s\S]'), c -> ascii(c)))
+                % 1000000007 AS BIGINT) AS frame_checksum
+    FROM frames
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video stand-in, mapInPandas 1->N): 4
+    evenly-spaced 64-byte windows per blob; offsets/checksums are
+    oracle-checked (fixture text is ASCII so byte == char offsets).
+    A real sampler decodes frames at the marked stub."""
+    media = M.attach_media_columns(io.table(spark, sf_dir, "documents"))
+    return M.sample_frames(media, n_frames=4, frame_bytes=64).select(
+        "doc_id", "frame_idx", "frame_n_bytes", "frame_checksum"
+    )
