@@ -1,0 +1,130 @@
+"""Property-based equivalence tests (hypothesis): the declarative
+window/agg formulations must match straightforward imperative mirrors
+of the reference's Java semantics on randomized inputs.
+
+- trigger evaluator vs a literal re-walk of shouldOptimizeDataFiles
+  (AwsTableManagementMetricsEvaluator.java:108-140)
+- binpack planner invariants (AwsManageProperties.java:48-50 cap)
+- Morton/z-order key vs a bit-twiddling reference
+
+Each hypothesis example packs many tables into ONE DataFrame so a
+whole example costs one Spark job, keeping the suite fast.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iceberg_aws_event_based_table_management_spark.operators import maintenance, trigger
+
+NOW_MS = 1_700_000_000_000
+OPS = ("append", "replace", "delete", "overwrite")
+
+snapshot = st.tuples(
+    st.integers(min_value=0, max_value=50_000_000),  # age offset ms before NOW
+    st.sampled_from(OPS),
+)
+timeline = st.lists(snapshot, min_size=0, max_size=12)
+timelines = st.lists(timeline, min_size=1, max_size=20)
+
+
+def _mirror_decision(snaps, *, ct, tt):
+    """Imperative mirror of the Java loop: newest-first walk, stop at
+    REPLACE, pending count + oldest pending age (no early exit — the
+    early returns in the Java only short-circuit the OR)."""
+    ordered = sorted(snaps, key=lambda s: (-s[1], -s[0]))  # desc ts, desc id
+    pending = []
+    for sid, ts, op in ordered:
+        if op == "replace":
+            break
+        pending.append((sid, ts))
+    n = len(pending)
+    age = (NOW_MS - min(ts for _, ts in pending)) if pending else -1
+    return n, age, age >= tt, n >= ct, (age >= tt or n >= ct)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(timelines)
+def test_trigger_matches_imperative_reference(spark, tls):
+    ct, tt = 5, 10_800_000
+    rows, expected = [], {}
+    for t_idx, tl in enumerate(tls):
+        name = f"t{t_idx}"
+        snaps = [
+            (sid, NOW_MS - off, op) for sid, (off, op) in enumerate(tl)
+        ]
+        for sid, ts, op in snaps:
+            rows.append((name, sid, ts, op))
+        if snaps:
+            expected[name] = _mirror_decision(snaps, ct=ct, tt=tt)
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "table_name string, snapshot_id long, ts_ms long, operation string"
+    ).select("table_name", "snapshot_id", F.timestamp_millis("ts_ms").alias("ts"), "operation")
+    now = "2023-11-14 22:13:20"  # == NOW_MS in UTC
+    got = {
+        r["table_name"]: (
+            r["n_commits_since_replace"],
+            r["max_pending_age_ms"],
+            r["time_trigger"],
+            r["commit_trigger"],
+            r["should_optimize"],
+        )
+        for r in trigger.decide_optimize(
+            df, now=now, commit_threshold=ct, time_threshold_ms=tt, replace_op="replace"
+        ).collect()
+    }
+    assert got == expected
+
+
+file_entry = st.tuples(st.integers(min_value=1, max_value=2_000_000_000))
+inventories = st.lists(
+    st.lists(file_entry, min_size=1, max_size=30), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(inventories, st.integers(min_value=1_000_000, max_value=4_000_000_000))
+def test_binpack_groups_respect_cap(spark, invs, cap):
+    rows = [
+        (f"t{t}", f"f{t}_{i}", size)
+        for t, inv in enumerate(invs)
+        for i, (size,) in enumerate(inv)
+    ]
+    df = spark.createDataFrame(rows, "table_name string, file_path string, file_size_bytes long")
+    planned = {
+        (r["table_name"], r["file_path"]): r["group_id"]
+        for r in maintenance.plan_binpack_groups(df, cap).collect()
+    }
+    # exact mirror: size-desc/path order, exclusive running sum, floor/cap
+    expected = {}
+    by_table: dict = {}
+    for tname, path, size in rows:
+        by_table.setdefault(tname, []).append((path, size))
+    for tname, files in by_table.items():
+        running = 0
+        for path, size in sorted(files, key=lambda f: (-f[1], f[0])):
+            expected[(tname, path)] = running // cap
+            running += size
+    assert planned == expected
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**16 - 1),
+    st.integers(min_value=0, max_value=2**16 - 1),
+)
+def test_zorder_matches_bit_twiddling_reference(spark, x, y):
+    df = spark.createDataFrame([(x, y)], "x long, y long")
+    zv = maintenance.zorder_value(
+        ["x", "y"], bits=16, mins={"x": 0, "y": 0}, ranges={"x": 2**16 - 1, "y": 2**16 - 1}
+    )
+    got = df.select(zv.alias("z")).collect()[0]["z"]
+    ref = 0
+    for i in range(16):
+        ref |= ((x >> i) & 1) << (2 * i)
+        ref |= ((y >> i) & 1) << (2 * i + 1)
+    assert got == ref
