@@ -136,3 +136,21 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") >= 1)
     )
+
+
+@register("dedup_near_verified", tier="D", oracle=None)
+def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 composed, the 100 TB pipeline shape: LSH banding generates
+    candidate pairs (linear-ish), exact n-gram Jaccard verifies ONLY
+    those candidates (`block=` semi-join) — the full-corpus pairwise
+    join never runs.  Rows-only (hash seeds engine-specific); recall
+    of the composition vs unblocked exact Jaccard is asserted in
+    tests/test_dedup_similarity.py."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = D.shingles(docs, 3)
+    sig = D.minhash_signatures(sh, num_hashes=32)
+    cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+    verified = D.jaccard_pairs(sh, block=cands, threshold=0.5)
+    return verified.select(
+        "doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )

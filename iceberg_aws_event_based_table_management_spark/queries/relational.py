@@ -441,3 +441,50 @@ def filter_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "source_csv_roundtrip",
+    tier="C",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink: write the nation dim as CSV with header, read
+    it back with an EXPLICIT schema (schema-on-read inference drifts —
+    never inferSchema in production), return the rows.  Values must
+    round-trip losslessly vs the parquet original (the oracle)."""
+    import tempfile
+
+    nation = io.table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/nation_csv"
+        nation.write.option("header", True).mode("overwrite").csv(path)
+        back = spark.read.option("header", True).schema(
+            "n_nationkey long, n_name string, n_regionkey long"
+        ).csv(path)
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)
+
+
+@register(
+    "source_json_roundtrip",
+    tier="C",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip of the region dim, explicit
+    schema on read (same rule as CSV: inference is for exploration,
+    schemas are for pipelines)."""
+    import tempfile
+
+    region = io.table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/region_json"
+        region.write.mode("overwrite").json(path)
+        back = spark.read.schema("r_regionkey long, r_name string").json(path)
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)

@@ -101,3 +101,21 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(set(exact) & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_lsh_verified_pipeline_matches_unblocked_jaccard(spark, docs):
+    """The scale composition (LSH candidates -> blocked exact verify)
+    must find the same >= 0.8 pairs as the unblocked exact join — LSH
+    banding at 8x4 recalls everything the verifier would keep."""
+    sh = D.shingles(docs, 3)
+    unblocked = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.jaccard_pairs(sh, threshold=0.8).collect()
+    }
+    sig = D.minhash_signatures(sh, num_hashes=32)
+    cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+    verified = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in D.jaccard_pairs(sh, block=cands, threshold=0.8).collect()
+    }
+    assert verified == unblocked
