@@ -82,7 +82,13 @@ def files(spark: SparkSession, sf_dir: str, n_tables: int = config.FILES_TABLE_C
     NB: double->bigint casts use an explicit FLOOR because Spark
     truncates while DuckDB rounds; FLOOR makes both engines agree.
     """
-    li = table(spark, sf_dir, "lineitem")
+    return files_from(table(spark, sf_dir, "lineitem"), n_tables)
+
+
+def files_from(li: DataFrame, n_tables: int = config.FILES_TABLE_COUNT) -> DataFrame:
+    """The `_files` projection over an arbitrary lineitem subset — used
+    both for the full inventory and for 'live manifest' slices
+    (lifecycle orphan-file planning)."""
     return li.select(
         F.concat(F.lit("t"), (F.col("l_orderkey") % n_tables).cast("string")).alias("table_name"),
         F.concat(

@@ -14,8 +14,10 @@ def load() -> None:
         composite,
         control_plane,
         dedup,
+        lifecycle,
         maintenance,
         relational,
+        relational_ext,
         scalars,
         similarity,
         sorts_sets,

@@ -1,0 +1,203 @@
+"""Tier C extensions — remaining relational surface of the spark-sql
+shell the reference boots per job (EmrOnEc2OptimizeDataExecutor.java:88-94):
+lateral explode, unpivot, exact percentiles, time-range window frames,
+deterministic sampling, regex scalar family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..registry import register
+
+
+@register(
+    "explode_unnest_tokens",
+    tier="C",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def explode_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UNNEST / LATERAL VIEW): whitespace-tokenize
+    documents, explode to one row per token, global top-50 token
+    frequencies with a total tiebreak order.  The explode is map-side
+    (no shuffle); only the token counts shuffle — at 100 TB the
+    aggregation is partial-combined per partition before exchange."""
+    docs = io.table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "unpivot_stack_metrics",
+    tier="C",
+    oracle="""
+    WITH long_form AS (
+      SELECT l_returnflag, 'quantity' AS metric, l_quantity AS mval FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, metric,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(mval * 100) AS BIGINT)) AS sum_cents
+    FROM long_form GROUP BY l_returnflag, metric
+    """,
+)
+def unpivot_stack_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via `stack`: three measure columns become
+    (metric, value) rows, then a grouped rollup.  stack() is a
+    generator expression — map-side, codegen'd, no Python; the 3x row
+    blowup happens inside the scan stage, never materialized."""
+    li = io.table(spark, sf_dir, "lineitem")
+    long_form = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (metric, mval)"
+        ),
+    )
+    return long_form.groupBy("l_returnflag", "metric").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("mval") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+@register(
+    "agg_percentiles_exact",
+    tier="C",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT): both engines
+    use the (n-1)*q rank-interpolation definition, and l_quantity is
+    integral, so quartile interpolation (steps of .25) is exact in
+    binary floating point — hash-stable across engines.  Spark's
+    `percentile` is a single-pass sort-based agg; at scale prefer
+    approx_percentile (C20's HLL analog) — the exact form is the
+    oracle anchor."""
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(l_quantity, 0.25D)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50D)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("q75"),
+    )
+
+
+@register(
+    "window_range_frame",
+    tier="C",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           SUM(cents) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS rolling_cents
+    FROM e
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-table rolling 1-hour metric sum —
+    the continuous form of the trigger evaluator's age math (A8,
+    AwsTableManagementMetricsEvaluator.java:119).  RANGE frames bound
+    by *value* (microseconds), not row count, so late/dense bursts are
+    handled; partitioned per user so no global sort."""
+    e = io.table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts", F.sum("cents").over(w).alias("rolling_cents")
+    )
+
+
+@register(
+    "sample_deterministic",
+    tier="C",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+    FROM lineitem
+    WHERE l_orderkey % 20 = 7
+    GROUP BY l_returnflag
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-mod sampling — the reproducible TABLESAMPLE
+    substitute for pipeline debugging at scale.  The predicate pushes
+    to the scan (unlike TABLESAMPLE BERNOULLI, which reads everything
+    and is seed/engine-dependent), and sampling by key keeps whole
+    orders together."""
+    li = io.table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 7)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+@register(
+    "scalar_regex_suite",
+    tier="C",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+           p_brand LIKE 'Brand#1%' AS brand1x,
+           regexp_matches(p_type, '^(ECONOMY|SMALL)$') AS cheap_type
+    FROM part
+    """,
+)
+def scalar_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family (C34 companion): extract / global replace /
+    LIKE prefix / full-match test.  All JVM-codegen'd expressions —
+    no UDFs — so they stay inside WholeStageCodegen at scale."""
+    p = io.table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("consonants"),
+        F.col("p_brand").startswith("Brand#1").alias("brand1x"),
+        F.col("p_type").rlike("^(ECONOMY|SMALL)$").alias("cheap_type"),
+    )
