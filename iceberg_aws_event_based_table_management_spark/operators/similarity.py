@@ -58,6 +58,70 @@ def topk_bruteforce(embeddings: DataFrame, query_vec: list[float], k: int = 20) 
     return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
 
 
+def knn_join(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
+    """Batch kNN join: for every query vector, its exact top-k cosine
+    neighbors among the candidates — the many-query generalization of
+    topk_bruteforce (one retrieval pass serves a whole query table).
+
+    The query matrix is broadcast to executors; each candidate Arrow
+    batch scores against all queries as ONE float64 GEMM (the
+    threshold_pairs_blocked lesson: dense linear algebra beats
+    per-pair zip_with folds ~5-10x), then emits only its LOCAL top-k
+    per query, so rows leaving the scan stage are k x queries x
+    batches — never candidates x queries.  One narrow shuffle ranks
+    the local winners globally.  Local selection uses the same
+    (sim desc, id asc) total order as the final rank, so the global
+    top-k is always contained in the union of local top-ks, ties
+    included.  For query sets too big to broadcast, block both sides
+    with LSH (ann_topk_lsh) first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qpd = queries.select("vec_id", "embedding").toPandas()
+    q_ids = qpd["vec_id"].to_numpy()
+    qm = np.asarray([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    bq = candidates.sparkSession.sparkContext.broadcast((q_ids, qm / qn[:, None]))
+
+    def score(batches):
+        ids_q, qu = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            n_ids = pdf["vec_id"].to_numpy()
+            cn = np.linalg.norm(cm, axis=1)
+            cn[cn == 0.0] = 1.0
+            sims = np.round((cm / cn[:, None]) @ qu.T, 6)  # (n_cand, n_query)
+            kk = min(k, sims.shape[0])
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids_q)):
+                top = np.lexsort((n_ids, -sims[:, j]))[:kk]
+                out_q.append(np.full(kk, ids_q[j]))
+                out_n.append(n_ids[top])
+                out_s.append(sims[top, j])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = candidates.select("vec_id", "embedding").mapInPandas(
+        score, schema="q_id long, n_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def threshold_pairs_blocked(embeddings: DataFrame, tau: float = 0.2) -> DataFrame:
     """D4: all pairs with cosine >= tau, blocked by `label` — the
     group-by on the block key keeps each task at block_size^2, not n^2.

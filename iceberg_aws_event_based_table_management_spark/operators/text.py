@@ -132,3 +132,28 @@ def lang_id_ngram(documents: DataFrame, profile_size: int = 20) -> DataFrame:
             (F.col("lang") == F.coalesce("predicted_lang", F.lit("unknown"))).alias("correct"),
         )
     )
+
+
+# PII patterns kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes + bounded
+# quantifiers only — no backrefs/lookaround.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: count and mask emails/phone
+    numbers with typed placeholders.  Pure regexp expressions —
+    map-side, codegen'd, zero-shuffle at any scale; extending the
+    pattern set is additive (one regexp_replace per class)."""
+    c = F.col(text_col)
+    emails = F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))
+    phones = F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        df.withColumn("n_emails", F.size(emails))
+        .withColumn("n_phones", F.size(phones))
+        .withColumn("redacted", redacted)
+    )

@@ -104,6 +104,38 @@ def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("label", "vec_id_a", "vec_id_b", "cosine_sim")
 
 
+@register(
+    "similarity_knn_join",
+    tier="D",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS n_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.q_id, c.n_id,
+             ROUND({_DUCK_COS.format(a="c.ce", b="q.qe")}, 6) AS cosine_sim
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, n_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine_sim DESC, n_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 batch form: kNN *join* — top-3 exact cosine neighbors for
+    each of 10 query vectors in one pass (broadcast queries, map-side
+    scoring, per-query rank).  This is the retrieval shape RAG /
+    nearest-neighbor labeling pipelines run at scale; the ANN variants
+    swap the scan for bucket probes."""
+    e = io.table(spark, sf_dir, "embeddings")
+    return S.knn_join(
+        e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10), k=3
+    ).select("q_id", "n_id", "cosine_sim", "rank")
+
+
 @register("dedup_embedding_neardup", tier="D", oracle=None)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (rows-only; the SQL-checked

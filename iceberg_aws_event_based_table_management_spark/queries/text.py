@@ -247,3 +247,42 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("vec_id").alias("n_with_embedding"),
         )
     )
+
+
+@register(
+    "text_pii_redact",
+    tier="D",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com call +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 pipeline op: PII redaction — mask emails/phones with typed
+    placeholders before training.  The fixture corpus is synthetic, so
+    deterministic PII is injected per doc first (doc_id-derived email +
+    phone), then counted and masked.  All regexp expressions: map-side,
+    no shuffle, linear at any corpus size."""
+    docs = io.table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return TX.redact_pii(docs).select("doc_id", "n_emails", "n_phones", "redacted")
