@@ -33,13 +33,16 @@ HEADLINE = [
     "window_rank_orders_per_cust",
     "topk_orders_by_price",
     "binpack_group_assignment",
+    "merge_upsert_orders",
     "composite_shipping_priority",
     "pipeline_training_corpus",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "topk_similarity_bruteforce",
+    "similarity_knn_join",
     "similarity_threshold_pairs",
     "text_token_stats",
+    "explode_unnest_tokens",
     "stream_tumbling_commits_per_hour",
 ]
 

@@ -119,3 +119,49 @@ def test_lsh_verified_pipeline_matches_unblocked_jaccard(spark, docs):
         for r in D.jaccard_pairs(sh, block=cands, threshold=0.8).collect()
     }
     assert verified == unblocked
+
+
+def test_knn_join_ties_survive_local_topk(spark):
+    """Tie candidates (identical vectors) scattered across partitions:
+    the per-batch top-k must keep the globally-winning ids (sim desc,
+    id asc), not arbitrary tie members."""
+    import numpy as np
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from iceberg_aws_event_based_table_management_spark.operators.similarity import (
+        as_double,
+        cosine,
+        knn_join,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8)).astype("float32")
+    rows = []
+    # 40 candidates: 10 exact copies of each base vector -> massive ties
+    for i in range(40):
+        rows.append(Row(vec_id=100 + i, embedding=[float(x) for x in base[i % 4]], label=0))
+    queries = [Row(vec_id=0, embedding=[float(x) for x in base[0]], label=0),
+               Row(vec_id=1, embedding=[float(x) for x in rng.normal(size=8)], label=0)]
+    cand = spark.createDataFrame(rows).repartition(8)
+    qdf = spark.createDataFrame(queries)
+
+    got = {
+        (r.q_id, r.rank): r.n_id
+        for r in knn_join(qdf, cand, k=5).collect()
+    }
+
+    # reference: exact cross join + window, no local pruning
+    q = qdf.select(F.col("vec_id").alias("q_id"), as_double("embedding").alias("qv"))
+    c = cand.select(F.col("vec_id").alias("n_id"), as_double("embedding").alias("cv"))
+    scored = c.crossJoin(q).select(
+        "q_id", "n_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), "n_id")
+    ref = {
+        (r.q_id, r.rank): r.n_id
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == ref

@@ -116,3 +116,35 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_merge_is_single_shuffle_join(spark, sf_dir, qmap):
+    # MERGE = one full-outer SortMergeJoin on the key; never a
+    # cartesian/nested-loop, never more than one join for the upsert.
+    from iceberg_aws_event_based_table_management_spark import io
+    from iceberg_aws_event_based_table_management_spark.operators.lifecycle import merge_upsert
+    from pyspark.sql import functions as F
+
+    orders = io.table(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_orderkey") % 7 == 0)
+    plan = _plan(merge_upsert(orders, src, keys=["o_orderkey"], update_cols=["o_totalprice"]))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_orphan_files_is_anti_join(spark, sf_dir, qmap):
+    plan = _plan(qmap["maintenance_orphan_files"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_shuffles_only_local_winners(spark, sf_dir, qmap):
+    # The GEMM scorer must emit local top-k BEFORE the exchange: the
+    # only wide shuffle in the plan is the final per-query rank window.
+    plan = _plan(qmap["similarity_knn_join"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    pre, _, post = plan.partition("MapInPandas")
+    # exactly one hash exchange downstream (the rank window), none upstream
+    assert pre.count("Exchange hashpartitioning") == 1  # plan prints top-down: window above scorer
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
