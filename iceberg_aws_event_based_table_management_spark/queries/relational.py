@@ -488,3 +488,26 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.schema("r_regionkey long, r_name string").json(path)
         rows = back.collect()
         return spark.createDataFrame(rows, back.schema)
+
+
+@register(
+    "source_orc_roundtrip",
+    tier="C",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip of the supplier dim (the third
+    columnar format Spark ships natively alongside parquet/csv/json),
+    explicit schema on read; doubles must survive losslessly vs the
+    parquet original (the oracle)."""
+    import tempfile
+
+    supplier = io.table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/supplier_orc"
+        supplier.write.mode("overwrite").orc(path)
+        back = spark.read.schema("s_suppkey long, s_name string, s_acctbal double").orc(path)
+        rows = back.collect()
+        return spark.createDataFrame(rows, back.schema)

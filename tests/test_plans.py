@@ -148,3 +148,23 @@ def test_knn_join_shuffles_only_local_winners(spark, sf_dir, qmap):
     # exactly one hash exchange downstream (the rank window), none upstream
     assert pre.count("Exchange hashpartitioning") == 1  # plan prints top-down: window above scorer
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # Hive-style partitioned sink + filter on the partition column:
+    # the read plan must prune to one partition directory (the scan's
+    # PartitionFilters), not filter post-scan — this is what makes
+    # date/flag-partitioned 100 TB tables scannable.
+    from iceberg_aws_event_based_table_management_spark import io
+
+    li = io.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_part")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter("l_returnflag = 'R'")
+    plan = _formatted(back)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    n_all = li.count()
+    n_r = back.count()
+    assert 0 < n_r < n_all
