@@ -317,3 +317,37 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_suppkey", F.floor("l_quantity").cast("long"), salt_buckets=16
     )
     return out.select("l_suppkey", F.col("total").cast("long").alias("total"), "n_rows")
+
+
+@register(
+    "agg_grouping_sets",
+    tier="C",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           {_dec_sum_sql("o_totalprice")} AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 explicit form: arbitrary GROUPING SETS (not just the rollup
+    lattice) + per-column GROUPING flags to disambiguate subtotal rows
+    from genuine NULL groups.  Same single-shuffle expanded-grouping
+    execution as rollup/cube."""
+    o = io.table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_value"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "n_orders", "total_value",
+    )

@@ -201,3 +201,29 @@ def scalar_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").startswith("Brand#1").alias("brand1x"),
         F.col("p_type").rlike("^(ECONOMY|SMALL)$").alias("cheap_type"),
     )
+
+
+@register(
+    "window_rank_distributions",
+    tier="C",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 companions: percent_rank + cume_dist — distribution-position
+    analytics per status partition.  Both are tie-stable (equal inputs
+    get equal outputs), so results are deterministic without a
+    tiebreak; one shuffle on the bounded partition key."""
+    o = io.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
