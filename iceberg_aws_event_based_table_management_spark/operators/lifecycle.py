@@ -92,9 +92,10 @@ def merge_upsert(
     source: DataFrame,
     keys: Sequence[str],
     update_cols: Sequence[str],
+    update_condition=None,
 ) -> DataFrame:
     """MERGE INTO target USING source ON keys
-    WHEN MATCHED THEN UPDATE SET update_cols = source.update_cols
+    WHEN MATCHED [AND update_condition] THEN UPDATE SET update_cols = source.update_cols
     WHEN NOT MATCHED THEN INSERT *.
 
     Implemented as one full-outer join + coalesce — a single shuffle
@@ -102,6 +103,12 @@ def merge_upsert(
     cost model.  Columns not in ``update_cols`` keep the target value
     for matched rows.  Assumes source is deduplicated on ``keys``
     (standard MERGE precondition).
+
+    ``update_condition``: optional Column over the ``t.``/``s.``
+    aliases (e.g. ``F.col("s.ts") > F.col("t.ts")``) — the
+    `WHEN MATCHED AND ...` guard of SQL MERGE.  The canonical CDC use
+    is a version/timestamp guard, which makes repeated merges
+    idempotent and arrival-order-insensitive.
     """
     key_list = list(keys)
     t = target.alias("t")
@@ -111,6 +118,8 @@ def merge_upsert(
     matched = F.col(f"s.{key_list[0]}").isNotNull() & F.col(
         f"t.{key_list[0]}"
     ).isNotNull()
+    if update_condition is not None:
+        matched = matched & update_condition
     out_cols = []
     for c in target.columns:
         if c in key_list:

@@ -192,3 +192,30 @@ def stream_should_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "stream_merge_upsert",
+    tier="C",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts, event_type, value FROM ranked WHERE rn = 1
+    """,
+)
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (CDC -> keyed state): each micro-batch upserts
+    its per-user latest event via the lifecycle MERGE operator inside
+    foreachBatch.  Time-ordered replay makes the incremental upsert
+    provably equal the batch as-of query (latest event per user) —
+    so unlike most streaming ops this one carries a full SQL oracle,
+    not a rows-only check."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        final = replay.run_merge_upsert_stream(spark, path, tmp)
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)

@@ -285,3 +285,63 @@ def run_stateful_trigger(
     )
     q.awaitTermination()
     return trigger.decide_optimize(spark.read.parquet(state_path), now=now)
+
+
+def run_merge_upsert_stream(
+    spark: SparkSession,
+    replay_path: str,
+    ckpt_dir: str,
+    *,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """Streaming MERGE: each micro-batch upserts its per-user latest
+    event into a keyed state table (foreachBatch + the lifecycle MERGE
+    operator) — the standard 'CDC stream -> dimension table' pattern
+    Iceberg pipelines run with MERGE INTO per batch.
+
+    The matched-update carries a version guard (`WHEN MATCHED AND
+    source (ts, event_id) > target (ts, event_id)`), so the merge is
+    idempotent and arrival-order-insensitive — the file source does
+    NOT guarantee chunk order, and the guard makes the final state
+    exactly the batch as-of query (latest event per user) regardless
+    of batch interleaving; that batch query is the SQL oracle.  State
+    is bounded by key cardinality (one row per user),
+    localCheckpoint'ed per batch to truncate lineage.
+    """
+    from ..operators.lifecycle import merge_upsert
+
+    state: dict[str, DataFrame | None] = {"df": None}
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.select("user_id", "event_id", "ts", "event_type", "value")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if state["df"] is None:
+            merged = latest
+        else:
+            newer = (F.col("s.ts") > F.col("t.ts")) | (
+                (F.col("s.ts") == F.col("t.ts"))
+                & (F.col("s.event_id") > F.col("t.event_id"))
+            )
+            merged = merge_upsert(
+                state["df"],
+                latest,
+                keys=["user_id"],
+                update_cols=["event_id", "ts", "event_type", "value"],
+                update_condition=newer,
+            )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        read_stream(spark, replay_path, files_per_trigger)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(ckpt_dir, "merge_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["df"]

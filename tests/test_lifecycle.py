@@ -66,3 +66,17 @@ def test_merge_upsert_three_row_fates(spark):
     out = {r.k: (r.v, r.tag) for r in merge_upsert(target, source, keys=["k"], update_cols=["v"]).collect()}
     # k=1 untouched; k=2 matched -> v updated, tag kept from target; k=3 inserted.
     assert out == {1: (10.0, "a"), 2: (99.0, "b"), 3: (30.0, "c")}
+
+
+def test_merge_upsert_version_guard_is_order_insensitive(spark):
+    """WHEN MATCHED AND s.v > t.v: an older source row must NOT clobber
+    newer state — merging batches in any order converges to max-v."""
+    newer = F.col("s.v") > F.col("t.v")
+    b1 = spark.createDataFrame([Row(k=1, v=5.0)])
+    b2 = spark.createDataFrame([Row(k=1, v=9.0)])
+
+    from iceberg_aws_event_based_table_management_spark.operators.lifecycle import merge_upsert as mu
+
+    fwd = mu(mu(b1, b2, ["k"], ["v"], update_condition=newer), b1, ["k"], ["v"], update_condition=newer)
+    rev = mu(mu(b2, b1, ["k"], ["v"], update_condition=newer), b2, ["k"], ["v"], update_condition=newer)
+    assert fwd.collect() == rev.collect() == [Row(k=1, v=9.0)]
