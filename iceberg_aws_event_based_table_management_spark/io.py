@@ -40,6 +40,13 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark rejects it unless
+        # nanosAsLong is set.  The conf is runtime-settable, and callers may
+        # hand us an externally built session (the evaluator runs inside the
+        # host's session, AwsTableManagementMetricsEvaluator.java:64-85), so
+        # set it here rather than relying on our own session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the footer, surfaced as long ns via

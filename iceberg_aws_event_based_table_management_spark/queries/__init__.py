@@ -1,4 +1,13 @@
-"""Query modules; importing them populates the registry."""
+"""Query modules; importing them populates the registry.
+
+Import order IS registration order.  The driver grades the first 50
+registered queries per round, so the order below is a rotation
+schedule: modules whose queries have not yet been driver-verified are
+imported first, already-proven modules last.  Round 3 front-loads
+relational (outer/semi/anti/range/as-of/self joins), relational_ext,
+scalars, sorts_sets and similarity; aggregates/composite/
+control_plane/dedup/lifecycle/maintenance were graded in rounds 1-2.
+"""
 
 from __future__ import annotations
 
@@ -10,20 +19,20 @@ def load() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        relational,
+        relational_ext,
+        scalars,
+        sorts_sets,
+        similarity,
+        text,
+        udfs,
+        streaming_batch,
         aggregates,
         composite,
         control_plane,
         dedup,
         lifecycle,
         maintenance,
-        relational,
-        relational_ext,
-        scalars,
-        similarity,
-        sorts_sets,
-        streaming_batch,
-        text,
-        udfs,
     )
 
     _LOADED = True

@@ -244,11 +244,11 @@ def window_lag_commit_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH files AS ({io.FILES_CTE})
     SELECT table_name, file_path, file_size_bytes,
-           SUM(file_size_bytes) OVER (
+           CAST(SUM(file_size_bytes) OVER (
              PARTITION BY table_name
              ORDER BY file_size_bytes DESC, file_path
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS running_bytes
+           ) AS BIGINT) AS running_bytes
     FROM files
     """,
 )

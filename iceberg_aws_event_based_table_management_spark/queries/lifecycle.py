@@ -94,7 +94,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT i.table_name,
            COUNT(*) AS n_orphans,
-           SUM(i.file_size_bytes) AS orphan_bytes
+           CAST(SUM(i.file_size_bytes) AS BIGINT) AS orphan_bytes
     FROM inv i
     WHERE NOT EXISTS (SELECT 1 FROM manifest m WHERE m.file_path = i.file_path)
     GROUP BY i.table_name
@@ -143,7 +143,7 @@ _MERGE_SRC_SQL = """
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM merged GROUP BY o_orderstatus
     """,
 )

@@ -62,10 +62,10 @@ def binpack_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT table_name,
            COUNT(*) AS n_groups,
-           SUM(files_in_group) AS files_before,
-           SUM(files_after) AS files_after,
-           SUM(group_bytes) AS total_bytes,
-           SUM(group_records) AS total_records,
+           CAST(SUM(files_in_group) AS BIGINT) AS files_before,
+           CAST(SUM(files_after) AS BIGINT) AS files_after,
+           CAST(SUM(group_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(group_records) AS BIGINT) AS total_records,
            SUM(files_after) < SUM(files_in_group) AS file_count_reduced
     FROM post GROUP BY table_name
     """,

@@ -58,7 +58,7 @@ def explode_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, metric,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(mval * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(FLOOR(mval * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM long_form GROUP BY l_returnflag, metric
     """,
 )
@@ -120,10 +120,10 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id, ts,
-           SUM(cents) OVER (
+           CAST(SUM(cents) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ) AS rolling_cents
+           ) AS BIGINT) AS rolling_cents
     FROM e
     """,
 )
@@ -156,8 +156,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
-           SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM lineitem
     WHERE l_orderkey % 20 = 7
     GROUP BY l_returnflag

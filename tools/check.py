@@ -1,8 +1,12 @@
 """Local mimic of the driver's correctness gate.
 
 Runs every registered query at a given sf dir on Spark AND its DuckDB
-oracle, then compares row count, column names, and order-insensitive
-values.  Use while iterating; the real gate is the driver's
+oracle, then compares row count, column names, order-insensitive
+values, AND Arrow result types.  The type check exists because the
+driver hashes typed values: DuckDB widening an integer SUM to
+decimal128(38,0) hash-mismatches an int64 Spark column even though
+Python compares Decimal(5) == 5 — exactly the round-1/2 failure mode.
+Use while iterating; the real gate is the driver's
 CORRECTNESS_r{N}.json.
 
 Usage: python tools/check.py [sf_dir] [query ...]
@@ -13,10 +17,12 @@ from __future__ import annotations
 import math
 import sys
 import time
+from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pyarrow as pa
 
 import iceberg_aws_event_based_table_management_spark as engine
 from iceberg_aws_event_based_table_management_spark import io as eio
@@ -26,12 +32,20 @@ from iceberg_aws_event_based_table_management_spark.session import get_spark
 def _norm_cell(v):
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v  # exact — mirror worst-case driver hashing
+            return ("float", "NaN")
+        return ("float", v)  # exact — mirror worst-case driver hashing
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -42,6 +56,35 @@ def _normalize(cols, rows):
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
+
+
+def _type_sig(t: pa.DataType) -> str:
+    """Canonical signature for an Arrow type.  Unit/tz of timestamps and
+    string/large_string width are normalized (engines legitimately
+    differ); numeric width and decimal-ness are NOT — that's what the
+    driver's value hash is sensitive to."""
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_type_sig(t.value_type)}>"
+    if pa.types.is_struct(t):
+        fields = ", ".join(f"{t.field(i).name}:{_type_sig(t.field(i).type)}" for i in range(t.num_fields))
+        return f"struct<{fields}>"
+    if pa.types.is_map(t):
+        return f"map<{_type_sig(t.key_type)},{_type_sig(t.item_type)}>"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    return str(t)  # int32 vs int64 vs float64 etc. stay distinct
+
+
+def _sig_map(schema: pa.Schema) -> dict[str, str]:
+    return {f.name: _type_sig(f.type) for f in schema}
 
 
 def main() -> int:
@@ -58,6 +101,8 @@ def main() -> int:
     for t in eio.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     n_pass = n_fail = n_rows_only = 0
     for name, fn in sorted(qmap.items()):
         if only and name not in only:
@@ -67,6 +112,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            s_types = _sig_map(to_arrow_schema(sdf.schema))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -76,9 +122,10 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(omap[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            tbl = con.execute(omap[name]).arrow()
+            d_cols = tbl.schema.names
+            d_types = _sig_map(tbl.schema)
+            d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -88,6 +135,12 @@ def main() -> int:
         status = []
         if sc != dc:
             status.append(f"cols spark={sc} duck={dc}")
+        else:
+            bad_types = {
+                c: (s_types[c], d_types[c]) for c in sc if s_types[c] != d_types[c]
+            }
+            if bad_types:
+                status.append(f"arrow types differ: {bad_types}")
         if len(sr) != len(dr):
             status.append(f"rowcount spark={len(sr)} duck={len(dr)}")
         elif sr != dr:
