@@ -7,15 +7,18 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect).  Timings include Catalyst planning but exclude
 session startup and JVM/codegen warmup: every headline query runs
-twice and the second run is reported — steady-state throughput, not
-JIT compile time.  That is the regime that matters at 100 TB, where
-each plan runs for minutes and codegen compilation is noise.
+once to warm, then 3 timed runs and the MEDIAN is reported —
+steady-state throughput, not JIT compile time or Python-worker
+fork noise (mapInPandas warm-up showed +-80% single-run variance
+between rounds 1 and 2 on identical code).  That is the regime that
+matters at 100 TB, where each plan runs for minutes.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,9 +65,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm codegen
-        t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

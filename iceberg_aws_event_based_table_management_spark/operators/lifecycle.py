@@ -109,36 +109,35 @@ def merge_upsert(
     `WHEN MATCHED AND ...` guard of SQL MERGE.  The canonical CDC use
     is a version/timestamp guard, which makes repeated merges
     idempotent and arrival-order-insensitive.
+
+    NULL semantics match SQL MERGE exactly: the ON clause is plain
+    equality, so a NULL key never matches (a NULL-keyed target row is
+    kept verbatim; a NULL-keyed source row is inserted).  Row
+    provenance comes from explicit per-side presence markers, not from
+    key-NULL inference, so a matched row whose guard fails keeps the
+    target row verbatim — including its NULL columns.
     """
     key_list = list(keys)
-    t = target.alias("t")
-    s = source.alias("s")
-    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_list]
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_list]
     joined = t.join(s, cond, "full_outer")
-    matched = F.col(f"s.{key_list[0]}").isNotNull() & F.col(
-        f"t.{key_list[0]}"
-    ).isNotNull()
+    t_present = F.col("t._t_present").isNotNull()
+    s_present = F.col("s._s_present").isNotNull()
+    updated = t_present & s_present
     if update_condition is not None:
-        matched = matched & update_condition
+        updated = updated & update_condition
     out_cols = []
     for c in target.columns:
-        if c in key_list:
-            out_cols.append(
-                F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
-            )
-        elif c in update_cols and c in source.columns:
-            # matched -> source value; target-only -> target; source-only -> source
-            out_cols.append(
-                F.when(matched, F.col(f"s.{c}"))
-                .otherwise(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")))
-                .alias(c)
-            )
-        elif c in source.columns:
-            out_cols.append(
-                F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c)
-            )
+        tcol = F.col(f"t.{c}")
+        scol = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        if c in update_cols and c in source.columns:
+            # matched+guard -> source; any present target -> target
+            # verbatim; else (not-matched insert) -> source
+            expr = F.when(updated, scol).when(t_present, tcol).otherwise(scol)
         else:
-            out_cols.append(F.col(f"t.{c}").alias(c))
+            expr = F.when(t_present, tcol).otherwise(scol)
+        out_cols.append(expr.alias(c))
     return joined.select(*out_cols)
 
 

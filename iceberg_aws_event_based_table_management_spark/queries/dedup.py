@@ -85,10 +85,7 @@ _GRAMS_CTE = r"""
 """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    tier="D",
-    oracle=f"""
+_JACCARD_ORACLE = f"""
     WITH {_GRAMS_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM gramsf GROUP BY doc_id),
     inter AS (
@@ -103,8 +100,10 @@ _GRAMS_CTE = r"""
     JOIN sizes sa ON doc_id_a = sa.doc_id
     JOIN sizes sb ON doc_id_b = sb.doc_id
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", tier="D", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2-exact: word-3-gram Jaccard pairs >= 0.5 — surfaces the
     fixture's planted near-duplicates.  The shingle equi-join is the
@@ -138,14 +137,17 @@ def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near_verified", tier="D", oracle=None)
+@register("dedup_near_verified", tier="D", oracle=_JACCARD_ORACLE)
 def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 composed, the 100 TB pipeline shape: LSH banding generates
     candidate pairs (linear-ish), exact n-gram Jaccard verifies ONLY
     those candidates (`block=` semi-join) — the full-corpus pairwise
-    join never runs.  Rows-only (hash seeds engine-specific); recall
-    of the composition vs unblocked exact Jaccard is asserted in
-    tests/test_dedup_similarity.py."""
+    join never runs.  Verification is exact Jaccard >= tau, so the
+    oracle is the same SQL as dedup_ngram_jaccard: with the fixed
+    MinHash seeds the LSH stage has 100% recall on the fixture corpus
+    (every planted pair lands in a shared band bucket — also asserted
+    in tests/test_dedup_similarity.py), making the blocked composition
+    equal the unblocked exact result."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = D.shingles(docs, 3)
     sig = D.minhash_signatures(sh, num_hashes=32)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from .. import config, io
 from ..registry import register
 from ..streaming import replay
+from .control_plane import _DECISION_CTE
 
 
 @register(
@@ -115,12 +116,18 @@ def stream_dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_events_ingest", tier="C", oracle=None)
+@register(
+    "stream_events_ingest",
+    tier="C",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
 def stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5 (rows-only, real streaming): the raw streaming source->sink
+    """C5 (real streaming, SQL oracle): the raw streaming source->sink
     path — replay the events fixture through the file-stream source
-    into a memory sink and return per-type counts; equals the batch
-    scan by construction (the A1 ingest, run as an actual stream)."""
+    into a memory sink and return per-type counts.  Pure counts over
+    the whole replay are arrival-order-insensitive, so the batch GROUP
+    BY is an exact oracle no matter how the file source orders
+    micro-batches."""
     with tempfile.TemporaryDirectory() as tmp:
         path = replay.replay_dir(spark, sf_dir, tmp)
         counts = (
@@ -152,14 +159,21 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
-@register("stream_stateful_trigger", tier="C", oracle=None)
+@register(
+    "stream_stateful_trigger",
+    tier="C",
+    oracle=f"WITH {_DECISION_CTE} SELECT * FROM decision",
+)
 def stream_stateful_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C44 (rows-only, real streaming, managed state): the trigger
+    """C44 (real streaming, managed state, SQL oracle): the trigger
     evaluator as an applyInPandasWithState operator — per-table
     (count, oldest-pending-ts) state in Spark's state store, decision
-    emitted in update mode per micro-batch.  The final emission per
-    table (max n_commits_seen) equals the batch A10 decision, asserted
-    in tests/test_streaming.py."""
+    emitted in update mode per micro-batch.  The state transition is
+    arrival-order-insensitive (REPLACE watermark + pending-set filter,
+    replay.py:141), so the final emission per table (max
+    n_commits_seen) equals the batch A10 decision regardless of
+    micro-batch order — the A10 decision CTE is therefore an exact
+    oracle (also asserted in tests/test_streaming.py)."""
     with tempfile.TemporaryDirectory() as tmp:
         path = replay.replay_dir(spark, sf_dir, tmp)
         stream = replay.stateful_trigger_stream(
@@ -178,13 +192,19 @@ def stream_stateful_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, final.schema)
 
 
-@register("stream_should_optimize", tier="C", oracle=None)
+@register(
+    "stream_should_optimize",
+    tier="C",
+    oracle=f"WITH {_DECISION_CTE} SELECT * FROM decision",
+)
 def stream_should_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C44 (rows-only, real streaming): the trigger evaluator run
+    """C44 (real streaming, SQL oracle): the trigger evaluator run
     incrementally via foreachBatch over the replayed commit stream —
     the A10 decision recomputed per micro-batch against accumulated
-    snapshot state; final state equals the batch decision (asserted in
-    tests/test_streaming.py)."""
+    snapshot state.  The state table accumulates ALL events before the
+    final evaluation, so the result equals the batch decision
+    independent of batch order — A10's decision CTE is an exact
+    oracle (also asserted in tests/test_streaming.py)."""
     with tempfile.TemporaryDirectory() as tmp:
         path = replay.replay_dir(spark, sf_dir, tmp)
         out = replay.run_stateful_trigger(

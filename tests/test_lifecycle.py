@@ -80,3 +80,50 @@ def test_merge_upsert_version_guard_is_order_insensitive(spark):
     fwd = mu(mu(b1, b2, ["k"], ["v"], update_condition=newer), b1, ["k"], ["v"], update_condition=newer)
     rev = mu(mu(b2, b1, ["k"], ["v"], update_condition=newer), b2, ["k"], ["v"], update_condition=newer)
     assert fwd.collect() == rev.collect() == [Row(k=1, v=9.0)]
+
+
+def test_merge_upsert_null_keys_never_match(spark):
+    """SQL MERGE ON t.k = s.k: NULL never equals NULL, so a NULL-keyed
+    target row is kept verbatim and a NULL-keyed source row is
+    inserted — two distinct output rows, not one merged row."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", DoubleType())])
+    target = spark.createDataFrame([(None, 1.0), (7, 70.0)], schema)
+    source = spark.createDataFrame([(None, 2.0), (7, 77.0)], schema)
+    out = sorted(
+        ((r.k, r.v) for r in merge_upsert(target, source, keys=["k"], update_cols=["v"]).collect()),
+        key=lambda t: (t[0] is None, t[0], t[1]),
+    )
+    # k=7 matched -> updated; the two NULL-keyed rows pass through on
+    # their own paths (target kept, source inserted).
+    assert out == [(7, 77.0), (None, 1.0), (None, 2.0)]
+
+
+def test_merge_upsert_guard_fail_keeps_null_target_column(spark):
+    """A matched row whose guard fails keeps the target row verbatim —
+    including a NULL target column that a coalesce would silently
+    overwrite with the source value."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ver", LongType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    target = spark.createDataFrame([(1, 5, None)], schema)
+    source = spark.createDataFrame([(1, 3, 42.0)], schema)
+    guard = F.col("s.ver") > F.col("t.ver")
+    out = merge_upsert(target, source, keys=["k"], update_cols=["ver", "v"], update_condition=guard).collect()
+    assert out == [Row(k=1, ver=5, v=None)]
+
+
+def test_merge_upsert_composite_keys(spark):
+    """Composite ON clause: both key parts must match; partial key
+    overlap is an insert, and key columns come from the owning side."""
+    target = spark.createDataFrame([Row(a=1, b="x", v=10.0), Row(a=1, b="y", v=20.0)])
+    source = spark.createDataFrame([Row(a=1, b="y", v=99.0), Row(a=2, b="x", v=30.0)])
+    out = {(r.a, r.b): r.v for r in merge_upsert(target, source, keys=["a", "b"], update_cols=["v"]).collect()}
+    assert out == {(1, "x"): 10.0, (1, "y"): 99.0, (2, "x"): 30.0}

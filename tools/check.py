@@ -80,7 +80,11 @@ def _type_sig(t: pa.DataType) -> str:
         return f"map<{_type_sig(t.key_type)},{_type_sig(t.item_type)}>"
     if pa.types.is_decimal(t):
         return "decimal"
-    return str(t)  # int32 vs int64 vs float64 etc. stay distinct
+    if pa.types.is_integer(t):
+        # the driver's hash tolerates integer width (rank() int32 vs
+        # ROW_NUMBER() int64 passed in r1/r2) but NOT decimal-vs-int
+        return "int"
+    return str(t)  # float32 vs float64 etc. stay distinct
 
 
 def _sig_map(schema: pa.Schema) -> dict[str, str]:
