@@ -92,14 +92,29 @@ def _sig_map(schema: pa.Schema) -> dict[str, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else eio.ORACLE_SF_DIR
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    bare = "--bare" in sys.argv[1:]
+    sf_dir = argv[0] if argv else eio.ORACLE_SF_DIR
+    only = set(argv[1:])
 
     engine.load_all_queries()
     qmap = engine.query_map()
     omap = engine.oracle_map()
 
-    spark = get_spark("oracle-check")
+    if bare:
+        # driver-mimic: a session WITHOUT the package's conf (the
+        # driver supplies its own); queries must set what they need
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .appName("oracle-check-bare")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("OFF")
     con = duckdb.connect()
     for t in eio.TABLES:
