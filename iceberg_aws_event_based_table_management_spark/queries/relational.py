@@ -443,6 +443,20 @@ def filter_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_dir(tag: str) -> str:
+    """Process-lifetime scratch dir so a written-then-reread dataset
+    stays readable for the caller's lazy plan (a TemporaryDirectory
+    context would vanish before the driver's collect, forcing an eager
+    collect+createDataFrame here — the anti-pattern at scale)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"ebtm-{tag}-")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 @register(
     "source_csv_roundtrip",
     tier="C",
@@ -453,19 +467,14 @@ def filter_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink: write the nation dim as CSV with header, read
     it back with an EXPLICIT schema (schema-on-read inference drifts —
-    never inferSchema in production), return the rows.  Values must
-    round-trip losslessly vs the parquet original (the oracle)."""
-    import tempfile
-
+    never inferSchema in production), return the LAZY read.  Values
+    must round-trip losslessly vs the parquet original (the oracle)."""
     nation = io.table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    with tempfile.TemporaryDirectory() as tmp:
-        path = f"{tmp}/nation_csv"
-        nation.write.option("header", True).mode("overwrite").csv(path)
-        back = spark.read.option("header", True).schema(
-            "n_nationkey long, n_name string, n_regionkey long"
-        ).csv(path)
-        rows = back.collect()
-        return spark.createDataFrame(rows, back.schema)
+    path = f"{_scratch_dir('csv')}/nation_csv"
+    nation.write.option("header", True).mode("overwrite").csv(path)
+    return spark.read.option("header", True).schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).csv(path)
 
 
 @register(
@@ -479,15 +488,10 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink round-trip of the region dim, explicit
     schema on read (same rule as CSV: inference is for exploration,
     schemas are for pipelines)."""
-    import tempfile
-
     region = io.table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    with tempfile.TemporaryDirectory() as tmp:
-        path = f"{tmp}/region_json"
-        region.write.mode("overwrite").json(path)
-        back = spark.read.schema("r_regionkey long, r_name string").json(path)
-        rows = back.collect()
-        return spark.createDataFrame(rows, back.schema)
+    path = f"{_scratch_dir('json')}/region_json"
+    region.write.mode("overwrite").json(path)
+    return spark.read.schema("r_regionkey long, r_name string").json(path)
 
 
 @register(
@@ -502,12 +506,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar format Spark ships natively alongside parquet/csv/json),
     explicit schema on read; doubles must survive losslessly vs the
     parquet original (the oracle)."""
-    import tempfile
-
     supplier = io.table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    with tempfile.TemporaryDirectory() as tmp:
-        path = f"{tmp}/supplier_orc"
-        supplier.write.mode("overwrite").orc(path)
-        back = spark.read.schema("s_suppkey long, s_name string, s_acctbal double").orc(path)
-        rows = back.collect()
-        return spark.createDataFrame(rows, back.schema)
+    path = f"{_scratch_dir('orc')}/supplier_orc"
+    supplier.write.mode("overwrite").orc(path)
+    return spark.read.schema("s_suppkey long, s_name string, s_acctbal double").orc(path)
