@@ -150,6 +150,45 @@ def test_knn_join_shuffles_only_local_winners(spark, sf_dir, qmap):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_join_family_broadcasts_dim_side(spark, sf_dir, qmap):
+    """Outer/semi/anti joins against the customer dim must broadcast
+    the small side and never shuffle either input — at 100 TB the fact
+    side streams map-side through the broadcast join."""
+    for name in (
+        "join_outer_customer_orders",
+        "join_semi_customers_with_orders",
+        "join_anti_customers_without_orders",
+    ):
+        plan = _plan(qmap[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast"
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert plan.count("Exchange hashpartitioning") == 0, f"{name} shuffles:\n{plan}"
+
+
+def test_asof_join_single_shuffle(spark, sf_dir, qmap):
+    """The as-of join resolves with one hash exchange (the per-key
+    latest-event reduction), not a shuffle per stage."""
+    plan = _plan(qmap["join_asof_latest_snapshot"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scalar_and_text_suites_are_map_side(spark, sf_dir, qmap):
+    """Per-row function suites must stay in the scan stage: zero
+    shuffles, zero Python UDFs — pure codegen'd projections (plus at
+    most a broadcast for a dim)."""
+    for name in (
+        "scalar_string_suite",
+        "scalar_datetime_suite",
+        "scalar_math_suite",
+        "text_token_stats",
+        "text_pii_redact",
+    ):
+        plan = _plan(qmap[name](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 0, f"{name} shuffles:\n{plan}"
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # Hive-style partitioned sink + filter on the partition column:
     # the read plan must prune to one partition directory (the scan's
