@@ -59,13 +59,42 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near_candidates", tier="D", oracle=None)
+@register(
+    "dedup_near_candidates",
+    tier="D",
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    gramsf AS (SELECT * FROM grams WHERE shingle <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM gramsf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM gramsf a JOIN gramsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b
+    FROM inter
+    JOIN sizes sa ON doc_id_a = sa.doc_id
+    JOIN sizes sb ON doc_id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
 def dedup_near_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 (rows-only — hash seeds are engine-specific, SURVEY SS2-D):
-    MinHash-LSH candidate pairs: word-3-shingles -> 32-permutation
-    MinHash signature -> 8 bands x 4 rows banding -> bucket equi-join.
-    The LSH bucket join is the 100 TB path (no quadratic blowup);
-    recall vs exact Jaccard is asserted in tests/test_dedup.py."""
+    """D2: MinHash-LSH candidate pairs: word-3-shingles ->
+    32-permutation MinHash signature -> 8 bands x 4 rows banding ->
+    bucket equi-join.  The LSH bucket join is the 100 TB path (no
+    quadratic blowup).  With the fixed MinHash seeds, the candidate
+    set on the fixture corpus is empirically EXACTLY the Jaccard>=0.5
+    pair set (verified at sf0.001 and sf0.01: no false positives or
+    negatives), so the exact-pair SQL is a valid oracle here; in
+    general LSH candidates are a superset/subset and the recall bound
+    is what tests/test_dedup.py asserts."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = D.shingles(docs, 3)
     sig = D.minhash_signatures(sh, num_hashes=32)

@@ -136,11 +136,28 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "n_id", "cosine_sim", "rank")
 
 
-@register("dedup_embedding_neardup", tier="D", oracle=None)
+@register(
+    "dedup_embedding_neardup",
+    tier="D",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3
+    )
+    SELECT vec_id_a,
+           COUNT(*) AS n_neardups,
+           MIN(vec_id_b) AS first_dup
+    FROM pairs GROUP BY vec_id_a
+    """,
+)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup (rows-only; the SQL-checked
-    geometry lives in similarity_threshold_pairs): pairs >= tau within
-    label blocks, survivor = min vec_id per duplicate pair."""
+    """Embedding-cosine near-dup dedup: pairs >= tau within label
+    blocks, survivor = min vec_id per duplicate pair.  The blocked
+    pairing is exact (rounded-to-6 cosine, same operator
+    similarity_threshold_pairs hash-verifies), so the label-blocked
+    pair join is an exact SQL oracle."""
     pairs = S.embedding_neardup_pairs(io.table(spark, sf_dir, "embeddings"), tau=0.3)
     return pairs.groupBy("vec_id_a").agg(
         F.count("*").alias("n_neardups"),
