@@ -27,6 +27,28 @@ _DUCK_COS = (
 )
 
 
+def _lsh_bucket_sql(col: str, planes: list[list[float]]) -> str:
+    """DuckDB expression for the random-hyperplane sign bucket of a
+    float-list column — same planes (pure-python LCG, seed 42) and the
+    same `dot >= 0` bit rule as operators/similarity.lsh_bucket_signature,
+    so both engines assign identical buckets.  Plane components are
+    spelled as CAST(... AS DOUBLE) literals: a bare decimal literal is
+    DECIMAL in DuckDB and would change the arithmetic."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in p) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product("
+            f"list_transform({col}, x -> CAST(x AS DOUBLE)), {lit}) >= 0 "
+            f"THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+_LSH_DIM = 64  # fixture embedding dim (TESTDATA.md, all sf dirs)
+_LSH_PLANES = S._hyperplanes(_LSH_DIM, 8)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         io.table(spark, sf_dir, "embeddings")
@@ -57,13 +79,36 @@ def topk_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_bruteforce(io.table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), 20)
 
 
-@register("ann_topk_lsh", tier="D", oracle=None)
+@register(
+    "ann_topk_lsh",
+    tier="D",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {_lsh_bucket_sql("embedding", _LSH_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT embedding AS qe,
+             {_lsh_bucket_sql("embedding", _LSH_PLANES)} AS qbucket
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({_DUCK_COS.format(a="e.embedding", b="qe")}, 6) AS cosine_sim
+    FROM e, q
+    WHERE bit_count(CAST(xor(e.bucket, q.qbucket) AS BIGINT)) <= 1
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 scale path (rows-only — approximate by design): random-
-    hyperplane LSH bucketing (8 planes -> 256 buckets), multi-probe
-    (Hamming<=1) candidate fetch, exact cosine re-rank of candidates
-    only.  Recall vs brute force is asserted in tests/test_similarity.py;
-    at 100 TB the bucket filter replaces the full scan."""
+    """D3 scale path: random-hyperplane LSH bucketing (8 planes -> 256
+    buckets), multi-probe (Hamming<=1) candidate fetch, exact cosine
+    re-rank of candidates only.  Approximate vs brute force, but fully
+    deterministic: the planes come from a pure-python LCG (seed 42),
+    so the oracle replays the identical bucketing + probe + re-rank in
+    SQL.  Recall vs brute force is asserted in tests; at 100 TB the
+    bucket filter replaces the full scan."""
     return S.ann_topk_lsh(
         io.table(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=20, n_planes=8
     )

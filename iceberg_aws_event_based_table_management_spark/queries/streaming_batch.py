@@ -140,14 +140,25 @@ def stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
-@register("stream_watermark_latedrop", tier="C", oracle=None)
+@register(
+    "stream_watermark_latedrop",
+    tier="C",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
 def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C43 (rows-only, real streaming): watermarked tumbling counts over
-    the file-replayed event stream (availableNow, memory sink).  With
-    in-order replay nothing falls behind the watermark, so the result
-    matches the batch tumbling counts — asserted in
-    tests/test_streaming.py; timing-dependent in general, hence no SQL
-    oracle (SURVEY SS5.2)."""
+    """C43 (real streaming, SQL oracle): watermarked tumbling counts
+    over the file-replayed event stream (availableNow, memory sink).
+    Replay order is pinned (replay_dir sets increasing per-chunk
+    mtimes, which the file source sorts by), so micro-batches arrive in
+    event-time order, nothing falls behind the watermark, and the
+    result deterministically equals the batch tumbling counts — the
+    same oracle as stream_tumbling_commits_per_hour.  The late-DROP
+    behavior itself (out-of-order replay) is exercised in
+    tests/test_streaming.py."""
     with tempfile.TemporaryDirectory() as tmp:
         path = replay.replay_dir(spark, sf_dir, tmp)
         out = replay.run_to_memory(

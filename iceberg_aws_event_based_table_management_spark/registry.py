@@ -39,6 +39,17 @@ def register(name: str, *, oracle: str | None, tier: str, doc: str = "") -> Call
     return deco
 
 
+def demote(*names: str) -> None:
+    """Move already-verified queries to the back of registration order.
+
+    Registration order is the driver's grading order; demoting queries
+    whose correctness is already on record keeps the verification
+    window pointed at not-yet-verified entries.
+    """
+    for n in names:
+        QUERIES[n] = QUERIES.pop(n)
+
+
 def query_map() -> dict[str, QueryFn]:
     return {q.name: q.fn for q in QUERIES.values()}
 

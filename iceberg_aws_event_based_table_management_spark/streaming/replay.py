@@ -46,6 +46,18 @@ def replay_dir(spark: SparkSession, sf_dir: str, workdir: str, n_chunks: int = 8
     ev.withColumn("chunk", chunk).repartitionByRange(n_chunks, "chunk").write.partitionBy(
         "chunk"
     ).mode("overwrite").parquet(out)
+    # Pin strictly increasing mtimes per chunk: the file source orders
+    # micro-batches by (modification time, path), so this makes replay
+    # order — and therefore watermark progression — deterministic and
+    # event-time-ordered, not an accident of writer timing.  Epoch base
+    # is arbitrary; only the per-chunk ordering matters.
+    base = 1_600_000_000
+    for k in range(1, n_chunks + 1):
+        cdir = os.path.join(out, f"chunk={k}")
+        if not os.path.isdir(cdir):
+            continue
+        for fname in os.listdir(cdir):
+            os.utime(os.path.join(cdir, fname), (base + k, base + k))
     return out
 
 

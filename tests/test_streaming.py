@@ -46,6 +46,56 @@ def test_stream_watermark_no_late_data_equals_batch(spark, sf_dir, replay_path):
     assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
 
 
+def test_stream_watermark_drops_late_chunk(spark, tmp_path):
+    """Out-of-order replay: a chunk whose event times sit far behind the
+    already-advanced watermark is dropped before aggregation (update
+    mode), so its windows never reach the sink.  This is the actual
+    late-DROP semantics; the registered query uses pinned in-order
+    replay and therefore equals batch."""
+    import os
+    import shutil
+    from datetime import datetime
+
+    d = str(tmp_path / "late-replay")
+    os.makedirs(d)
+
+    def write_file(rows, fname, mtime):
+        stage = str(tmp_path / f"stage-{fname}")
+        spark.createDataFrame(rows, replay.EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(d, fname)
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    hour10 = [(i, datetime(2024, 1, 1, 10, 0, i), 1, "append", 1.0, "{}") for i in range(5)]
+    hour11 = [(50 + i, datetime(2024, 1, 1, 11, 0, i), 1, "append", 1.0, "{}") for i in range(5)]
+    hour01 = [(100 + i, datetime(2024, 1, 1, 1, 0, i), 1, "append", 1.0, "{}") for i in range(5)]
+    # Spark's two-watermark model filters late events against the
+    # PREVIOUS batch's watermark, so the drop needs the late file to be
+    # two batches behind the advance: batch 0 (hour 10) sets max event
+    # time, batch 1 (hour 11) runs with late-watermark still 1970 while
+    # eviction watermark moves to ~09:50, batch 2's hour-01 rows are
+    # then filtered against ~09:50 and dropped.
+    write_file(hour10, "a.parquet", 1_600_000_001)
+    write_file(hour11, "b.parquet", 1_600_000_002)
+    write_file(hour01, "c.parquet", 1_600_000_003)
+
+    src = (
+        spark.readStream.schema(replay.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = replay.run_to_memory(
+        replay.watermarked_tumbling(src), "t_wm_late", output_mode="update"
+    )
+    starts = {r["window_start"] for r in out.collect()}
+    assert datetime(2024, 1, 1, 10) in starts
+    assert datetime(2024, 1, 1, 11) in starts
+    assert datetime(2024, 1, 1, 1) not in starts
+
+
 def test_stream_dedup_drops_replayed_duplicates(spark, sf_dir, tmp_path):
     ev = io.table(spark, sf_dir, "events")
     dup_dir = str(tmp_path / "dups")
