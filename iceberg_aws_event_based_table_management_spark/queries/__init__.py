@@ -27,6 +27,7 @@ def load() -> None:
         text,
         udfs,
         streaming_batch,
+        pipeline_ext,
         aggregates,
         composite,
         control_plane,

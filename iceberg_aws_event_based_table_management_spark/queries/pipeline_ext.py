@@ -1,0 +1,275 @@
+"""Tier D (part 2) — training-data-pipeline extensions (SURVEY.md
+SS2-E E18-E22).
+
+Operations a large-scale LLM training-data pipeline runs beyond
+dedup/similarity/quality: eval-set contamination detection, stratified
+sampling, corpus vocabulary statistics, balanced shard assignment, and
+TF-IDF term scoring.  All built-in-function formulations (no Python
+UDFs); every query carries an exact DuckDB oracle.
+
+Scale notes per query docstring — the common rules: the eval set and
+per-group quotas are broadcast-sized, corpora are only ever shuffled on
+aggregation keys, and every LIMIT sits behind a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators import dedup as D
+from ..registry import register
+
+# word-3-gram CTE (same shape as dedup's oracle grams, parameterized by
+# source relation)
+_GRAMS = r"""
+  ws_{alias} AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+    FROM {rel}
+  ),
+  grams_{alias} AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+    FROM ws_{alias}, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  ),
+  gramsf_{alias} AS (SELECT * FROM grams_{alias} WHERE shingle <> '')
+"""
+
+
+@register(
+    "text_contamination_eval_overlap",
+    tier="D",
+    oracle=f"""
+    WITH
+    {_GRAMS.format(alias="ev", rel="(SELECT * FROM documents WHERE doc_id % 100 = 0)")},
+    {_GRAMS.format(alias="tr", rel="(SELECT * FROM documents WHERE doc_id % 100 <> 0)")},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM gramsf_tr GROUP BY doc_id),
+    inter AS (
+      SELECT t.doc_id AS doc_id, e.doc_id AS eval_doc_id, COUNT(*) AS n_common
+      FROM gramsf_tr t JOIN gramsf_ev e ON t.shingle = e.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.eval_doc_id, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE) / s.n, 6) AS contamination
+    FROM inter i JOIN sizes s ON i.doc_id = s.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / s.n >= 0.05
+    """,
+)
+def text_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: eval-set contamination detection — word-3-gram overlap of
+    every training document against a held-out eval set (doc_id % 100
+    == 0), reporting pairs whose shared-shingle fraction >= 5% of the
+    training doc's shingles.
+
+    Scale shape: the eval set is small by construction, so its shingle
+    table broadcasts; the corpus shingle table is joined map-side and
+    aggregated on (doc, eval_doc) — one shuffle, no corpus self-join.
+    This is the pre-training decontamination pass run over every corpus
+    refresh."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    tr = docs.filter(F.col("doc_id") % 100 != 0)
+    ev_sh = D.shingles(ev, 3).withColumnRenamed("doc_id", "eval_doc_id")
+    tr_sh = D.shingles(tr, 3)
+    sizes = tr_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .withColumn(
+            "contamination", F.round(F.col("n_common") / F.col("n"), 6)
+        )
+        .filter(F.col("n_common") / F.col("n") >= 0.05)
+        .select("doc_id", "eval_doc_id", "n_common", "contamination")
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    tier="D",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 4294967296 AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM hashed
+    )
+    SELECT lang, doc_id
+    FROM ranked
+    WHERE rn <= (n_lang + 4) // 5
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: deterministic stratified sampling — a 20% quota per
+    language stratum, chosen by multiplicative integer hash of doc_id
+    (Knuth 2654435761), so the sample is reproducible across engines
+    and runs (no RNG state).  Quota uses integer ceil ((n+4) div 5):
+    float 0.2*n would round differently across engines.
+
+    Scale shape: one window per stratum — partitioned by lang, never a
+    global sort; at 100 TB strata are independent partitions and the
+    hash-rank is a per-partition top-k."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hashed = docs.withColumn(
+        "h", (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_lang", F.count("*").over(Window.partitionBy("lang"))
+    )
+    return ranked.filter(
+        F.col("rn") <= F.expr("(n_lang + 4) div 5")
+    ).select("lang", "doc_id")
+
+
+@register(
+    "corpus_token_topk",
+    tier="D",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def corpus_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: corpus vocabulary statistics — whitespace-token frequency
+    top-50 with a total order (count desc, token asc) so the LIMIT is
+    deterministic.
+
+    Scale shape: explode is narrow; the count is one hash aggregation
+    with map-side partials; top-k is TakeOrderedAndProject (local heaps
+    + single reduce, never a global sort of the vocabulary)."""
+    toks = (
+        io.table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "shard_assignment_balanced",
+    tier="D",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT (rn - 1) % 8 AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: balanced training-shard assignment — serpentine-free
+    round-robin over docs ranked by size (n_chars desc), so each of the
+    8 shards lands within one max-doc of equal total bytes; the shard
+    id is then the partition key the training-data writer
+    partitionBy()s on.
+
+    Scale note: the global size rank is the one global sort in the
+    family, and it sorts (n_chars, doc_id) pairs — 16 bytes/row of
+    rangepartitioned metadata, not documents; the text column never
+    moves.  (At extreme scale the same balance comes shuffle-free from
+    binning n_chars into ~1k histogram buckets and round-robining
+    within buckets.)"""
+    ranked = (
+        io.table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        )
+    )
+    return (
+        ranked.withColumn("shard_id", (F.col("rn") - 1) % 8)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    tier="D",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22: TF-IDF top-3 terms per document — tf from per-doc token
+    counts, df from the (doc, token) pairs, idf = ln(N/df), rank on
+    the ROUNDED score (both engines rank identical values) with token
+    tiebreak.
+
+    Scale shape: two hash aggregations (tf, then df) + a join on token
+    (df table is vocabulary-sized — broadcastable) + one per-doc
+    window.  N arrives via a 1-row cross join, not a driver constant."""
+    docs = io.table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

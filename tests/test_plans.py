@@ -207,3 +207,27 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n_all = li.count()
     n_r = back.count()
     assert 0 < n_r < n_all
+
+
+def test_pipeline_ext_plan_shapes(spark, sf_dir, qmap):
+    """E18-E22 at 100 TB: eval/vocab sides broadcast, top-k never
+    global-sorts, and the shard ranker moves metadata columns only."""
+    # contamination: eval shingles broadcast; the corpus side never
+    # participates in a cartesian or a sort-merge against the eval set
+    plan = _plan(qmap["text_contamination_eval_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # vocabulary top-k: local heaps + single reduce, not a global sort
+    plan = _plan(qmap["corpus_token_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # tf-idf: df (vocabulary) side broadcast into the tf table
+    plan = _plan(qmap["tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # shard ranker: the one global sort ranks (n_chars, doc_id) pairs;
+    # the text column must never reach the scan output
+    plan = _plan(qmap["shard_assignment_balanced"](spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" not in scan_line, "shard ranker scans document text"
+    # stratified sample: per-stratum windows — no global range partition
+    plan = _plan(qmap["sample_stratified_by_lang"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower() or "lang" in plan
