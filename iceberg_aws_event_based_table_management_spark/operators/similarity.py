@@ -238,58 +238,95 @@ def ann_topk_lsh(
     return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
 
 
-def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
-    """Index of the max-dot-product centroid (centroids unit-norm)."""
+# IVF determinism scheme: every vector is quantized ONCE to integers
+# (xq = floor(x * VEC_Q) per component), after which every REDUCTION in
+# the k-means loop — dot products, sums of squares, per-dimension mean
+# sums — is exact int64 arithmetic, which commutes: no shuffle order,
+# partition count, or engine can change it.  The only float ops left
+# are single correctly-rounded IEEE ops on identical inputs (int→double
+# below 2^53, one divide, one sqrt), which every engine computes
+# bit-identically.  That is what lets ann_topk_ivf carry an exact SQL
+# oracle that replays the training, and makes training results
+# independent of cluster layout.  Bounds: |x| < 1 in the fixture, so
+# xq < 2^20, dot terms < 2^40*64 < 2^46, mean sums < 2^20 * n_rows —
+# double-exact up to ~2^33 rows per cluster.
+VEC_Q = 1 << 20
+
+
+def quantize(v: Column) -> Column:
+    """floor(x * VEC_Q) per component — exact in both engines (the
+    multiply is an exponent shift; floor is floor)."""
+    return F.transform(v, lambda x: F.floor(x * F.lit(float(VEC_Q))).cast("long"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _centroid_score(xq: Column, cq: list[int]) -> Column:
+    """score = dot(xq, cq) / ||cq|| — the int dot is exact, the int→
+    double casts are exact, and /, sqrt are single IEEE ops: the score
+    double is bit-identical across engines."""
+    s = sum(v * v for v in cq) or 1
+    cql = F.array(*[F.lit(v).cast("long") for v in cq])
+    return _int_dot(xq, cql).cast("double") / F.lit(math.sqrt(float(s)))
+
+
+def _nearest_centroid(xq: Column, centroids: list[list[int]]) -> Column:
+    """Index of the max-score centroid (ties -> highest index, the
+    struct-max order)."""
     scored = F.array(
         *[
-            F.struct(
-                dot(v, F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
+            F.struct(_centroid_score(xq, cq).alias("d"), F.lit(i).alias("i"))
+            for i, cq in enumerate(centroids)
         ]
     )
     return F.array_max(scored)["i"]
 
 
-def ivf_train(embeddings: DataFrame, k_clusters: int = 16, iters: int = 2) -> list[list[float]]:
-    """Train an IVF coarse quantizer: spherical k-means over the corpus,
-    expressed as DataFrame ops (assign = broadcast-literal argmax dot;
-    re-estimate = posexplode + groupBy(cluster, pos) mean).  Only the
-    K centroid vectors ever reach the driver — O(K x dim) metadata, the
-    bounded-driver rule at any corpus size.
+def ivf_train(embeddings: DataFrame, k_clusters: int = 16, iters: int = 2) -> list[list[int]]:
+    """Train an IVF coarse quantizer: k-means with norm-scored (cosine)
+    assignment over the corpus, expressed as DataFrame ops (assign =
+    broadcast-literal argmax score; re-estimate = posexplode +
+    groupBy(cluster, pos) integer-mean).  Only the K centroid vectors
+    ever reach the driver — O(K x dim) metadata, the bounded-driver
+    rule at any corpus size.
 
-    Deterministic: seeds are the K lowest vec_ids; means are exact
-    (decimal-free long counts, double sums are per-(cluster,pos) and
-    re-normalized, so tiny float drift can't flip assignments in
-    practice)."""
-    e = embeddings.select("vec_id", as_double("embedding").alias("v"))
-    unit = e.select(
-        "vec_id", F.transform("v", lambda x: x / norm(F.col("v"))).alias("v")
+    Returns centroids as QUANTIZED integer vectors (see VEC_Q note):
+    seeds are the K lowest vec_ids' quantized vectors; per-dimension
+    means are floor(sum/count) of int64 sums; assignment compares the
+    engine-exact score double with ties to the highest index.  Fully
+    deterministic across engines and partitionings, so ann_topk_ivf
+    carries an exact SQL oracle that replays the training."""
+    xq = embeddings.select(
+        "vec_id", quantize(as_double("embedding")).alias("xq")
     )
-    seeds = unit.orderBy("vec_id").limit(k_clusters).collect()
-    centroids = [list(r["v"]) for r in seeds]
+    seeds = xq.orderBy("vec_id").limit(k_clusters).collect()
+    centroids = [list(r["xq"]) for r in seeds]
     for _ in range(iters):
-        assigned = unit.withColumn("c", _nearest_centroid(F.col("v"), centroids))
+        assigned = xq.withColumn("c", _nearest_centroid(F.col("xq"), centroids))
         means = (
-            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            assigned.select("c", F.posexplode("xq").alias("pos", "x"))
             .groupBy("c", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .withColumn(
+                "mq",
+                F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast("long"),
+            )
             .groupBy("c")
             .agg(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("centroid")
+                    F.array_sort(F.collect_list(F.struct("pos", "mq"))), lambda s: s["mq"]
+                ).alias("cq")
             )
             .collect()
         )
-        by_c = {r["c"]: list(r["centroid"]) for r in means}
-        new = []
-        for i, old in enumerate(centroids):
-            c = by_c.get(i, old)  # empty cluster keeps its old centroid
-            n = math.sqrt(sum(x * x for x in c)) or 1.0
-            new.append([x / n for x in c])
-        centroids = new
+        by_c = {r["c"]: list(r["cq"]) for r in means}
+        # empty cluster keeps its old centroid
+        centroids = [by_c.get(i, old) for i, old in enumerate(centroids)]
     return centroids
 
 
@@ -299,7 +336,7 @@ def ann_topk_ivf(
     k: int = 20,
     k_clusters: int = 16,
     nprobe: int = 4,
-    centroids: list[list[float]] | None = None,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """D3 scale path, IVF flavor: coarse-quantize the corpus into
     k_clusters inverted lists, probe the nprobe lists nearest the
@@ -311,14 +348,19 @@ def ann_topk_ivf(
     if centroids is None:
         centroids = ivf_train(embeddings, k_clusters)
     e = embeddings.select("vec_id", "label", as_double("embedding").alias("v"))
-    assigned = e.withColumn("cluster_id", _nearest_centroid(F.col("v"), centroids))
-
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    qunit = [x / qn for x in query_vec]
-    probe_order = sorted(
-        range(len(centroids)),
-        key=lambda i: -sum(a * b for a, b in zip(qunit, centroids[i])),
+    assigned = e.withColumn(
+        "cluster_id", _nearest_centroid(quantize(F.col("v")), centroids)
     )
+
+    # probe selection replays _centroid_score in python: exact int dot
+    # of the quantized query, then the same two IEEE ops — identical to
+    # what the engines compute; ties break to the lower index.
+    qq = [math.floor(float(x) * VEC_Q) for x in query_vec]
+    def score(cq: list[int]) -> float:
+        s = sum(v * v for v in cq) or 1
+        return sum(a * b for a, b in zip(qq, cq)) / math.sqrt(float(s))
+
+    probe_order = sorted(range(len(centroids)), key=lambda i: (-score(centroids[i]), i))
     probes = probe_order[:nprobe]
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -49,6 +49,96 @@ _LSH_DIM = 64  # fixture embedding dim (TESTDATA.md, all sf dirs)
 _LSH_PLANES = S._hyperplanes(_LSH_DIM, 8)
 
 
+def _ivf_oracle_sql(dim: int = 64, k_clusters: int = 16, iters: int = 2, nprobe: int = 4, k: int = 20) -> str:
+    """DuckDB replay of ivf_train + ann_topk_ivf (operators/similarity).
+
+    Exactness argument: vectors are quantized once (floor(x*VEC_Q) —
+    multiply by a power of two then floor, exact in every engine);
+    every reduction after that (dots, sums of squares, mean sums) is
+    integer arithmetic, which commutes; the only float ops are one
+    int->double cast (<2^53, exact), one divide and one sqrt — single
+    correctly-rounded IEEE ops on identical inputs.  So assignment,
+    training and probing agree with Spark bit-for-bit; only the final
+    cosine re-rank uses float folds, guarded by ROUND 6 like every
+    similarity oracle."""
+    vq = float(S.VEC_Q)
+    # score of quantized vector a against integer centroid cq
+    score = (
+        "CAST(list_sum(list_transform(generate_series(1, {dim}), j -> {a}[j] * {cq}[j])) AS DOUBLE)"
+        " / sqrt(CAST(list_sum(list_transform({cq}, v -> v * v)) AS DOUBLE))"
+    ).format(dim=dim, a="{a}", cq="{cq}")
+
+    def assign(name: str, cents: str) -> str:
+        sc = score.format(a="x.xq", cq="cs.cq")
+        return f"""
+    {name} AS (
+      SELECT vec_id, label, embedding, xq, c FROM (
+        SELECT x.vec_id, x.label, x.embedding, x.xq, cs.c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {sc} DESC, cs.c DESC
+               ) AS rn
+        FROM x CROSS JOIN {cents} cs
+      ) WHERE rn = 1
+    )"""
+
+    def remean(i: int, assigned: str, prev: str) -> str:
+        return f"""
+    m{i} AS (
+      SELECT c, j AS pos,
+             CAST(FLOOR(CAST(SUM(xq[j]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+      FROM {assigned}, UNNEST(generate_series(1, {dim})) t(j)
+      GROUP BY c, j
+    ),
+    cl{i} AS (SELECT c, list(mq ORDER BY pos) AS cq FROM m{i} GROUP BY c),
+    c{i} AS (
+      SELECT p.c, COALESCE(n.cq, p.cq) AS cq
+      FROM c{i - 1} p LEFT JOIN cl{i} n USING (c)
+    )"""
+
+    parts = [
+        f"""
+    x AS (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding, e -> CAST(FLOOR(CAST(e AS DOUBLE) * {vq}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT rn - 1 AS c, xq AS cq FROM (
+        SELECT xq, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM x
+      ) WHERE rn <= {k_clusters}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(remean(i, f"a{i}", f"c{i - 1}"))
+    parts.append(assign("af", f"c{iters}"))
+    qsc = score.format(a="q.qq", cq="cs.cq")
+    parts.append(f"""
+    q AS (
+      SELECT embedding AS qe,
+             list_transform(embedding, e -> CAST(FLOOR(CAST(e AS DOUBLE) * {vq}) AS BIGINT)) AS qq
+      FROM embeddings WHERE vec_id = 0
+    ),
+    probes AS (
+      SELECT c FROM (
+        SELECT cs.c,
+               ROW_NUMBER() OVER (ORDER BY {qsc} DESC, cs.c ASC) AS rn
+        FROM c{iters} cs CROSS JOIN q
+      ) WHERE rn <= {nprobe}
+    )""")
+    ctes = ",".join(parts)
+    cos = _DUCK_COS.format(a="a.embedding", b="qe")
+    return f"""
+    WITH {ctes}
+    SELECT a.vec_id, a.label, ROUND({cos}, 6) AS cosine_sim
+    FROM af a CROSS JOIN q
+    WHERE a.c IN (SELECT c FROM probes)
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         io.table(spark, sf_dir, "embeddings")
@@ -114,11 +204,14 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_ivf", tier="D", oracle=None)
+@register("ann_topk_ivf", tier="D", oracle=_ivf_oracle_sql())
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 scale path, IVF flavor (rows-only — approximate by design):
-    spherical-k-means coarse quantizer trained in DataFrame ops, probe
-    the 4 nearest of 16 inverted lists, exact re-rank inside probes.
+    """D3 scale path, IVF flavor: k-means coarse quantizer trained in
+    DataFrame ops, probe the 4 nearest of 16 inverted lists, exact
+    re-rank inside probes.  Approximate vs brute force but fully
+    deterministic: training quantizes vectors to integers so every
+    reduction commutes (operators/similarity.py VEC_Q note), which
+    makes the SQL oracle an exact replay of train+assign+probe.
     Recall vs brute force is asserted in tests/test_dedup_similarity.py;
     at 100 TB the cluster id is a partition key and probing = partition
     pruning."""
