@@ -1,0 +1,111 @@
+"""Repo-wide physical-plan hygiene sweep.
+
+test_plans.py locks specific shapes for specific queries; this sweep
+asserts the NEGATIVE space for every registered batch query: no
+accidental cartesian products, no row-at-a-time Python eval, and no
+unbounded global sorts — the three mistakes that silently survive
+small-sf correctness checks and then kill a 100 TB run.
+
+Queries that intentionally use an exempt construct are allowlisted
+with the reason inline; anything new that trips a rule must either fix
+the plan or earn its allowlist entry in review.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import iceberg_aws_event_based_table_management_spark as engine
+
+# Streaming queries execute a real micro-batch run inside the callable
+# (memory sink + collect) — their interesting plan is the streaming
+# one, asserted in tests/test_streaming.py.  Source round-trips write
+# scratch files.  Both are excluded from a pure plan sweep.
+SKIP = {
+    "stream_events_ingest",
+    "stream_watermark_latedrop",
+    "stream_stateful_trigger",
+    "stream_should_optimize",
+    "stream_merge_upsert",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+}
+
+# ArrowEvalPython / mapInPandas are the *intended* vectorized escape
+# hatches; BatchEvalPython (row-at-a-time) is allowed only in the
+# deliberate parity check.
+ROW_PYTHON_OK = {
+    "udf_tablename_parse_parity",  # parity query: row UDF vs native, by design
+}
+
+# A cross/nested-loop join against a literal or 1-row relation is a
+# broadcast of O(1) rows, not a cartesian blowup.
+NESTED_LOOP_OK = {
+    "topk_similarity_bruteforce",  # 1-row query-vector relation
+    "similarity_knn_join",  # bounded query side, broadcast by contract
+    "tfidf_top_terms",  # 1-row corpus-size relation (broadcast)
+    "filter_scalar_subquery",  # scalar subquery joins a 1-row aggregate
+    "join_range_events_windows",  # C14 non-equi join: small band side broadcast (test_range_join_broadcasts_band_side)
+}
+
+# Global Sort without a following limit: legitimate only when the sort
+# IS the operator's contract (explicit ORDER BY results / compaction
+# orderings) or ranks metadata-sized input.
+GLOBAL_SORT_OK = {
+    "sort_global_topcustomers",  # C28: the operator under test IS a global sort
+    "sort_compaction_order",  # B2: sorted rewrite is the contract
+    "sort_compaction_zorder",  # B2: z-ordered rewrite is the contract
+    "shard_assignment_balanced",  # E21: ranks (n_chars, doc_id) metadata pairs
+}
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    engine.load_all_queries()
+    return engine.query_map()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products(spark, sf_dir, qmap):
+    bad = {}
+    for name, fn in qmap.items():
+        if name in SKIP:
+            continue
+        plan = _executed(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            bad[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not bad, f"cartesian-family joins leaked into: {bad}"
+
+
+def test_no_row_at_a_time_python(spark, sf_dir, qmap):
+    bad = [
+        name
+        for name, fn in qmap.items()
+        if name not in SKIP
+        and name not in ROW_PYTHON_OK
+        and "BatchEvalPython" in _executed(fn(spark, sf_dir))
+    ]
+    assert not bad, f"row-at-a-time Python UDF in the hot path of: {bad}"
+
+
+def test_no_unbounded_global_sorts(spark, sf_dir, qmap):
+    bad = []
+    for name, fn in qmap.items():
+        if name in SKIP or name in GLOBAL_SORT_OK:
+            continue
+        plan = _executed(fn(spark, sf_dir))
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-*: ")
+            # global sort = Sort over a rangepartitioned exchange; local
+            # per-partition sorts (global=false) and TakeOrderedAndProject
+            # are fine.
+            if s.startswith("Sort ") and "global=true" in s:
+                bad.append(name)
+                break
+    assert not bad, f"unbounded global sort in: {bad}"
