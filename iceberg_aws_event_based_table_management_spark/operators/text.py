@@ -21,12 +21,19 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def token_count_col() -> F.Column:
+    """The BPE-ish token count as a bare column expression, so
+    compositions (pipeline_training_corpus) can add it map-side
+    instead of re-joining the corpus to a projection of itself."""
+    return F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     """D5 core: per-document token/char counts + ratios."""
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n_words = F.size(words)
     n_chars = F.length("text")
-    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+    n_tokens = token_count_col()
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     return documents.select(
         "doc_id",
@@ -41,9 +48,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Heuristic quality scoring: length band + punctuation ratio +
-    stopword ratio + mean word length, combined into [0,1]."""
+def _quality_parts() -> tuple[F.Column, F.Column, F.Column, F.Column]:
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n_words = F.size(words).cast("double")
     n_chars = F.length("text").cast("double")
@@ -53,6 +58,19 @@ def quality_score(documents: DataFrame) -> DataFrame:
     stop_score = F.least(n_stop / F.greatest(n_words, F.lit(1.0)) * 4, F.lit(1.0))
     punct_penalty = F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 10, F.lit(1.0))
     score = F.round(0.4 * len_score + 0.4 * stop_score + 0.2 * (1 - punct_penalty), 6)
+    return score, len_score, stop_score, punct_penalty
+
+
+def quality_score_col() -> F.Column:
+    """The combined quality score as a bare column expression (see
+    token_count_col note)."""
+    return _quality_parts()[0]
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length band + punctuation ratio +
+    stopword ratio + mean word length, combined into [0,1]."""
+    score, len_score, stop_score, punct_penalty = _quality_parts()
     return documents.select(
         "doc_id",
         "lang",

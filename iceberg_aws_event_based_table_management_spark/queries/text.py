@@ -220,13 +220,12 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = duped.join(survivors.select("doc_id"), "doc_id", "left_semi")
 
-    q = TXo.quality_score(corpus).select("doc_id", "quality_score")
-    toks = TXo.token_stats(corpus.withColumn("source", F.lit(""))).select(
-        "doc_id", "n_tokens"
-    )
+    # quality + token columns are map-side expressions added in place —
+    # never a join of the corpus against a projection of itself (that
+    # shape costs two full-corpus shuffles at scale for nothing).
     kept = (
-        corpus.join(q, "doc_id")
-        .join(toks, "doc_id")
+        corpus.withColumn("quality_score", TXo.quality_score_col())
+        .withColumn("n_tokens", TXo.token_count_col())
         .filter(F.col("quality_score") >= 0.5)
     )
     emb = io.table(spark, sf_dir, "embeddings").select(F.col("vec_id"))

@@ -165,3 +165,14 @@ def test_knn_join_ties_survive_local_topk(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_ivf_training_invariant_to_partitioning(spark, sf_dir):
+    """The determinism contract behind the IVF oracle: every reduction
+    in training is integer arithmetic, so centroids must be
+    bit-identical under any partition layout (the property that holds
+    on a 1000-executor cluster, not just this box)."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    a = S.ivf_train(emb.repartition(3), k_clusters=8, iters=2)
+    b = S.ivf_train(emb.repartition(17, "label"), k_clusters=8, iters=2)
+    assert a == b

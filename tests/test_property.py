@@ -128,3 +128,67 @@ def test_zorder_matches_bit_twiddling_reference(spark, x, y):
         ref |= ((x >> i) & 1) << (2 * i)
         ref |= ((y >> i) & 1) << (2 * i + 1)
     assert got == ref
+
+
+# --- E19/E21: sampling + sharding invariants on randomized corpora ---
+
+doc = st.tuples(
+    st.integers(min_value=0, max_value=1_000_000),  # doc_id (deduped below)
+    st.sampled_from(("en", "de", "fr", "zh", "es")),
+    st.integers(min_value=1, max_value=10_000),  # n_chars
+)
+corpus = st.lists(doc, min_size=1, max_size=60, unique_by=lambda d: d[0])
+
+
+def _stratified(spark, rows):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    hashed = df.withColumn("h", (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_lang", F.count("*").over(Window.partitionBy("lang"))
+    )
+    return ranked.filter(F.col("rn") <= F.expr("(n_lang + 4) div 5")).select("lang", "doc_id")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpus)
+def test_stratified_sample_quota_exact_per_stratum(spark, rows):
+    """The per-stratum quota must be exactly ceil(n/5) (integer form)
+    and the sample a subset of the stratum — on any corpus, not just
+    the fixture."""
+    got = _stratified(spark, rows).collect()
+    by_lang: dict[str, set] = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    pop: dict[str, set] = {}
+    for did, lang, _ in rows:
+        pop.setdefault(lang, set()).add(did)
+    for lang, ids in pop.items():
+        want = (len(ids) + 4) // 5
+        assert len(by_lang.get(lang, set())) == want, (lang, want)
+        assert by_lang.get(lang, set()) <= ids
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpus)
+def test_shard_round_robin_counts_and_totals(spark, rows):
+    """Size-ranked round-robin: doc counts across shards differ by at
+    most 1 and every doc lands in exactly one shard."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    ranked = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+    )
+    out = (
+        ranked.withColumn("shard_id", (F.col("rn") - 1) % 8)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .collect()
+    )
+    counts = [r["n_docs"] for r in out]
+    assert sum(counts) == len(rows)
+    assert max(counts) - min(counts) <= 1
+    assert sum(r["total_chars"] for r in out) == sum(d[2] for d in rows)
