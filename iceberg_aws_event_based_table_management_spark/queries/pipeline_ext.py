@@ -1,11 +1,12 @@
 """Tier D (part 2) — training-data-pipeline extensions (SURVEY.md
-SS2-E E18-E22).
+SS2-E E18-E24).
 
 Operations a large-scale LLM training-data pipeline runs beyond
 dedup/similarity/quality: eval-set contamination detection, stratified
-sampling, corpus vocabulary statistics, balanced shard assignment, and
-TF-IDF term scoring.  All built-in-function formulations (no Python
-UDFs); every query carries an exact DuckDB oracle.
+sampling, corpus vocabulary statistics, balanced shard assignment,
+TF-IDF term scoring, data-mixture rebalancing weights, and sequence
+packing by token budget.  All built-in-function formulations (no
+Python UDFs); every query carries an exact DuckDB oracle.
 
 Scale notes per query docstring — the common rules: the eval set and
 per-group quotas are broadcast-sized, corpora are only ever shuffled on
@@ -19,7 +20,10 @@ from pyspark.sql import functions as F
 
 from .. import io
 from ..operators import dedup as D
+from ..operators import text as TXo
 from ..registry import register
+
+_TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"  # keep in lockstep with operators/text.TOKEN_RE
 
 # word-3-gram CTE (same shape as dedup's oracle grams, parameterized by
 # source relation)
@@ -272,4 +276,112 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    tier="D",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+             COUNT(*) AS n_sources
+      FROM per_source
+    )
+    SELECT s.source, s.n_docs, s.total_tokens,
+           ROUND(CAST(s.total_tokens AS DOUBLE) / t.corpus_tokens, 6) AS token_share,
+           ROUND((1.0 / t.n_sources)
+                 / (CAST(s.total_tokens AS DOUBLE) / t.corpus_tokens), 6) AS sampling_weight
+    FROM per_source s CROSS JOIN tot t
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: data-mixture rebalancing — per-source token shares and the
+    sampling weight that rebalances each source to a uniform target
+    mixture (weight = target_share / actual_share).  The knob every
+    training-data pipeline sets before sampling a corpus.
+
+    Scale shape: one hash aggregation over the corpus; the totals table
+    is O(sources) and joins back as a 1-row broadcast.  Weights are
+    ratios of exact integer token sums, rounded — engine-stable."""
+    docs = io.table(spark, sf_dir, "documents")
+    per_source = (
+        docs.withColumn("n_tokens", TXo.token_count_col())
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("total_tokens").cast("long").alias("corpus_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.col("total_tokens").cast("double") / F.col("corpus_tokens")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias("sampling_weight"),
+    )
+
+
+@register(
+    "pack_sequences_token_budget",
+    tier="D",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT CAST(start_offset // 4096 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 4096.0, 6) AS fill_ratio
+    FROM ordered
+    GROUP BY 1
+    """,
+)
+def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24: sequence packing — assign documents to fixed token-budget
+    packs (4096) by running token offset, the batch-construction step
+    before training (same cumsum-bin shape as the B1 file binpack,
+    applied to documents).  Offsets are exact integer sums, so pack
+    ids are engine-identical.
+
+    Scale shape: the running offset is a window over (doc_id,
+    n_tokens) pairs — token-count metadata, never text.  At 100 TB the
+    corpus packs per shard (E21) instead of globally: partition the
+    window by shard_id and the shape is embarrassingly parallel."""
+    toks = (
+        io.table(spark, sf_dir, "documents")
+        .select("doc_id", TXo.token_count_col().cast("long").alias("n_tokens"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        ordered.withColumn("pack_id", F.expr("start_offset div 4096"))
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.lit(4096.0), 6).alias("fill_ratio"),
+        )
     )
