@@ -192,3 +192,55 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
         ).alias("simhash"),
     )
     return fp
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Near-duplicate CLUSTER resolution: union the pair graph into
+    connected components, component id = min doc_id in the component
+    (the survivor).  Pairwise output alone under-deduplicates: if A~B
+    and B~C, pair-wise min-survivor keeps A and B; the component keeps
+    only A.
+
+    Min-label propagation to fixpoint: each round every node takes the
+    min of its label and its neighbors' labels — converges in graph-
+    diameter rounds (near-dup clusters are shallow; the cap is a
+    guard).  The iteration runs over the CANDIDATE-PAIR node set (LSH
+    output), which is duplicate-count-sized, not corpus-sized; each
+    round is one join + one agg, localCheckpoint'ed to truncate
+    lineage.  The convergence check counts changed labels — bounded
+    metadata, not data.  At extreme scale swap for the large-star/
+    small-star formulation (same join primitive, provably fewer
+    rounds)."""
+    edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))

@@ -185,3 +185,58 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@register(
+    "dedup_near_clusters",
+    tier="D",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM gramsf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM gramsf a JOIN gramsf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_id_a, doc_id_b
+      FROM inter
+      JOIN sizes sa ON doc_id_a = sa.doc_id
+      JOIN sizes sb ON doc_id_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS s, doc_id_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
+      FROM reach GROUP BY s
+    )
+    SELECT component_id,
+           COUNT(*) AS n_docs,
+           list(doc_id ORDER BY doc_id) AS members
+    FROM comp GROUP BY component_id
+    """,
+)
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 completed: near-duplicate CLUSTERS via connected components
+    over the verified pair graph — survivor = min doc_id per component.
+    Pairwise survivors under-deduplicate transitive chains (A~B, B~C
+    keeps A and B); components keep exactly one doc per cluster.  The
+    oracle computes the same components with a recursive-CTE transitive
+    closure.  Components run over the candidate-pair node set
+    (duplicate-count-sized), never the corpus."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.jaccard_pairs(D.shingles(docs, 3), threshold=0.5)
+    comp = D.connected_components(pairs)
+    return comp.groupBy("component_id").agg(
+        F.count("*").alias("n_docs"),
+        F.array_sort(F.collect_list("doc_id")).alias("members"),
+    )

@@ -176,3 +176,13 @@ def test_ivf_training_invariant_to_partitioning(spark, sf_dir):
     a = S.ivf_train(emb.repartition(3), k_clusters=8, iters=2)
     b = S.ivf_train(emb.repartition(17, "label"), k_clusters=8, iters=2)
     assert a == b
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E must yield components {A,B,C} and {D,E} labeled by
+    their min ids — pairwise min-survivor logic would keep A and B."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    comp = {r["doc_id"]: r["component_id"] for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
