@@ -167,14 +167,27 @@ def jaccard_pairs(sh: DataFrame, block: DataFrame | None = None, threshold: floa
     )
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+def neutral_word_hash(col) -> "F.Column":
+    """Engine-neutral 60-bit word hash: first 15 hex chars of md5,
+    parsed base-16.  Identical in Spark (conv) and DuckDB (list_reduce
+    over hex digits), which makes every hash-derived operator built on
+    it exactly SQL-oracle-able.  At raw-throughput scale swap in
+    xxhash64 — the hash is a pluggable expression and nothing
+    downstream depends on which one runs."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     """SimHash fingerprint: per word-hash bit, sum +/-1 weighted by
     term frequency; fingerprint bit = sign.  Expressed as explode ->
-    per-bit conditional sums -> bit reassembly, all JVM-side."""
+    per-bit conditional sums -> bit reassembly, all JVM-side.  Uses
+    the 60-bit neutral_word_hash so fingerprints are engine-exact
+    (DuckDB computes the identical value bit for bit)."""
+    assert bits <= 60  # neutral_word_hash yields 60 bits, all below the sign bit
     words = documents.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    hashed = words.select("doc_id", F.xxhash64("word").alias("h"))
+    hashed = words.select("doc_id", neutral_word_hash(F.col("word")).alias("h"))
     # bit b of fingerprint = 1 iff sum over words of (bit set ? +1 : -1) > 0
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
@@ -188,7 +201,7 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
         "doc_id",
         sum(
             (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**b).cast("long"))
-            for b in range(bits - 1)  # keep sign bit clear: 63 usable bits
+            for b in range(bits)
         ).alias("simhash"),
     )
     return fp

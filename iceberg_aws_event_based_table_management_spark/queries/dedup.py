@@ -151,12 +151,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_buckets", tier="D", oracle=None)
+_SIMHASH_BITS = 60
+_SIMHASH_ORACLE = (
+    r"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(list_reduce(string_split('0' || substr(md5(word), 1, 15), ''),
+                              (acc, c) -> CAST(acc AS BIGINT) * 16
+                                          + strpos('0123456789abcdef', c) - 1)
+                  AS BIGINT) AS h
+      FROM words
+    ),
+    bit_sums AS (
+      SELECT doc_id,
+             """
+    + ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    + """
+      FROM hashed GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             """
+    + "\n             + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    + """ AS simhash
+      FROM bit_sums
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM fp GROUP BY simhash HAVING COUNT(*) >= 1
+    """
+)
+
+
+@register("dedup_simhash_buckets", tier="D", oracle=_SIMHASH_ORACLE)
 def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets (rows-only — xxhash64 is
-    engine-specific): 63-bit sign fingerprints; docs sharing a
-    fingerprint are near-dup candidates.  Sign-aggregation is one
-    explode + one groupBy — linear, no pairwise work."""
+    """SimHash near-dup buckets: 60-bit sign fingerprints over the
+    engine-neutral md5-derived word hash (operators/dedup.py
+    neutral_word_hash), so DuckDB reproduces every fingerprint exactly
+    — the former xxhash64 formulation was rows-only by necessity.
+    Docs sharing a fingerprint are near-dup candidates.
+    Sign-aggregation is one explode + one groupBy — linear, no
+    pairwise work."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = D.simhash(docs)
     return (
