@@ -385,3 +385,219 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens").cast("double") / F.lit(4096.0), 6).alias("fill_ratio"),
         )
     )
+
+
+from .text import _STOP_SQL  # noqa: E402  (kept in lockstep with operators/text.STOPWORDS)
+
+# per-document heuristic quality score `q`, identical expression to
+# operators/text.quality_score_col() — every op (divide/multiply/least/
+# add over integer-derived doubles) is a single correctly-rounded IEEE
+# step with a fixed evaluation order, so ROUND(...,6) is bit-identical
+# across Spark and DuckDB and safe to ORDER BY (tiebreak doc_id).
+_QUALITY = r"""
+  q_scored AS (
+    SELECT *,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS q_words,
+           CAST(length(text) AS DOUBLE) AS q_chars,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS q_punct,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                w -> w IN ({stop}))) AS DOUBLE) AS q_stop
+    FROM documents
+  ),
+  q_docs AS (
+    SELECT * EXCLUDE (q_words, q_chars, q_punct, q_stop),
+           ROUND(0.4 * least(q_words / 100.0, 1.0)
+               + 0.4 * least(q_stop / greatest(q_words, 1.0) * 4, 1.0)
+               + 0.2 * (1 - least(q_punct / greatest(q_chars, 1.0) * 10, 1.0)), 6) AS q
+    FROM q_scored
+  )
+""".format(stop="{stop}")
+
+
+@register(
+    "dedup_cluster_survivors",
+    tier="D",
+    oracle=f"""
+    WITH RECURSIVE
+    {_GRAMS.format(alias="d", rel="documents")},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM gramsf_d GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM gramsf_d a JOIN gramsf_d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT doc_id_a, doc_id_b
+      FROM inter
+      JOIN sizes sa ON doc_id_a = sa.doc_id
+      JOIN sizes sb ON doc_id_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM prs
+      UNION ALL
+      SELECT doc_id_b AS s, doc_id_a AS d FROM prs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
+      FROM reach GROUP BY s
+    ),
+    {_QUALITY.format(stop=_STOP_SQL)},
+    labeled AS (
+      SELECT q.doc_id, COALESCE(c.component_id, q.doc_id) AS component_id, q.q
+      FROM q_docs q LEFT JOIN comp c ON q.doc_id = c.doc_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY component_id
+                                   ORDER BY q DESC, doc_id) AS r
+      FROM labeled
+    )
+    SELECT component_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN r = 1 THEN doc_id END) AS survivor_doc_id,
+           MAX(CASE WHEN r = 1 THEN q END) AS survivor_quality
+    FROM rk GROUP BY component_id
+    """,
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26: the dedup pipeline's final decision — near-dup components
+    (E25) joined back to the corpus, survivor = HIGHEST-QUALITY member
+    (tiebreak doc_id), not min id: the doc a corpus build actually
+    keeps.  Unclustered docs are their own singleton component
+    (coalesce to doc_id).
+
+    Scale shape: components run over the candidate-pair node set
+    (duplicate-count-sized); the corpus join is keyed on doc_id; the
+    survivor window and the member count share one component_id
+    shuffle.  Quality ranks on ROUND(q,6) with doc_id tiebreak —
+    engine-identical ordering."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.jaccard_pairs(D.shingles(docs, 3), threshold=0.5)
+    comp = D.connected_components(pairs)
+    scored = docs.select("doc_id", TXo.quality_score_col().alias("q"))
+    labeled = scored.join(comp, "doc_id", "left").withColumn(
+        "component_id", F.coalesce("component_id", "doc_id")
+    )
+    w = Window.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = labeled.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.when(F.col("r") == 1, F.col("doc_id"))).alias("survivor_doc_id"),
+        F.max(F.when(F.col("r") == 1, F.col("q"))).alias("survivor_quality"),
+    )
+
+
+@register(
+    "curriculum_interleave",
+    tier="D",
+    oracle=f"""
+    WITH
+    {_QUALITY.format(stop=_STOP_SQL)},
+    ranked AS (
+      SELECT doc_id, source, q,
+             row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS src_rank
+      FROM q_docs
+    ),
+    sidx AS (
+      SELECT source, row_number() OVER (ORDER BY source) AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank,
+           CAST(r.src_rank AS BIGINT) * 1000000 + s.src_idx AS interleave_key
+    FROM ranked r JOIN sidx s USING (source)
+    """,
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27: curriculum/interleave ordering — quality-ranked docs per
+    source, round-robin interleaved across sources: sort by
+    interleave_key and every source contributes its best remaining doc
+    in turn (quality-descending curriculum, mixture preserved batch to
+    batch).
+
+    Scale shape: NO global window over the corpus.  The per-source
+    rank partitions by source; the interleave key is rank arithmetic
+    (src_rank * 1e6 + src_idx) against a broadcast source index —
+    map-side, monotone in (src_rank, src_idx).  A dense global
+    row_number would single-partition the corpus; the key orders
+    identically without it."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = docs.select("doc_id", "source", TXo.quality_score_col().alias("q"))
+    srcs = scored.select("source").distinct()
+    src_idx = srcs.withColumn(
+        "src_idx", F.row_number().over(Window.orderBy("source")).cast("long")
+    )
+    ranked = scored.withColumn(
+        "src_rank",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id")))
+        .cast("long"),
+    )
+    return ranked.join(F.broadcast(src_idx), "source").select(
+        "doc_id",
+        "source",
+        "src_rank",
+        (F.col("src_rank") * 1_000_000 + F.col("src_idx")).alias("interleave_key"),
+    )
+
+
+@register(
+    "source_token_budget",
+    tier="D",
+    oracle=f"""
+    WITH
+    {_QUALITY.format(stop=_STOP_SQL)},
+    toks AS (
+      SELECT doc_id, source, q,
+             CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens
+      FROM q_docs
+    ),
+    offs AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN start_offset < 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN start_offset < 800 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM offs GROUP BY source
+    """,
+)
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28: per-source token budgeting — admit each source's docs in
+    quality order until the source's token budget (800) is exhausted;
+    a doc is admitted iff the budget isn't spent when it starts (the
+    greedy prefix rule, so the last admitted doc may overshoot).  The
+    subsetting knob that pairs with E23's mixture weights.
+
+    Scale shape: one window partitioned by source over (q, n_tokens)
+    metadata — never text; integer token cumsums are engine-exact.
+    Skewed sources are AQE's problem at the window shuffle; the final
+    agg reuses the same partitioning."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        TXo.quality_score_col().alias("q"),
+        TXo.token_count_col().cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = toks.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    kept = F.col("start_offset") < 800
+    return offs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("kept_tokens"),
+    )

