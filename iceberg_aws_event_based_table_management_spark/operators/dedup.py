@@ -143,7 +143,13 @@ def jaccard_pairs(sh: DataFrame, block: DataFrame | None = None, threshold: floa
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # shuffle-hash hint: sorting both exploded shingle sides is the SMJ
+    # bottleneck (measured 2.5s -> 1.5s at sf0.1).  The build side is
+    # one shuffle partition's worth of (doc_id, hash) pairs — sized by
+    # spark.sql.shuffle.partitions, which scales with the cluster; in
+    # the blocked pipeline (dedup_near_verified) this join runs on LSH
+    # candidates only, so the build side is duplicate-sized anyway.
+    b = sh.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
