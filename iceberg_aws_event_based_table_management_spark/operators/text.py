@@ -175,3 +175,50 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_phones", F.size(phones))
         .withColumn("redacted", redacted)
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals, fully map-side:
+
+    - dup_word_ratio: 1 - distinct/total words (vocabulary collapse)
+    - top_bigram_ratio: multiplicity of the most frequent word 2-gram
+      over total 2-grams (loop/boilerplate detector)
+
+    The bigram mode is computed WITHOUT a shuffle: sort the row's
+    bigram array, then a single fold tracks the longest equal-run —
+    O(n log n) per document, zero exchanges, stays in whole-stage
+    codegen.  (The explode -> groupBy(doc_id, bigram) -> max
+    formulation shuffles every bigram token; per-row arrays make that
+    a local computation — the DuckDB oracle uses the explode form,
+    which is fine for a correctness check.)"""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    z = F.arrays_zip(words, F.slice(words, 2, 1_000_000_000))
+    bigrams = F.array_sort(
+        F.filter(
+            F.transform(z, lambda s: F.when(s["1"].isNotNull(), F.concat_ws(" ", s["0"], s["1"]))),
+            lambda g: g.isNotNull(),
+        )
+    )
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(a, x):
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best"))
+
+    top_bigram = F.aggregate(bigrams, acc0, step, lambda a: a["best"])
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double"), 6).alias(
+            "dup_word_ratio"
+        ),
+        F.round(
+            top_bigram.cast("double") / (n_words - 1).cast("double"), 6
+        ).alias("top_bigram_ratio"),
+    )

@@ -249,6 +249,38 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    tier="D",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM base, unnest(range(1, len(ws))) AS t(i)
+    ),
+    freq AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c FROM freq GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_word_ratio,
+           ROUND(CAST(COALESCE(top_c, 0) AS DOUBLE) / (len(ws) - 1), 6) AS top_bigram_ratio
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 pipeline op: Gopher-style repetition signals — duplicate-word
+    ratio and top-bigram multiplicity ratio, the intra-document
+    degeneracy filters a pre-training pipeline applies after exact
+    dedup.  The Spark side computes the bigram mode WITHOUT a shuffle
+    (sort the per-row bigram array, fold the longest equal-run) — the
+    oracle uses the explode->groupBy form, which shuffles every bigram
+    and is the shape this operator deliberately avoids at 100 TB."""
+    return TX.repetition_stats(io.table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_pii_redact",
     tier="D",
     oracle=r"""

@@ -80,6 +80,28 @@ def test_interleave_round_robin_prefix(spark, sf_dir):
     assert all(r["src_rank"] == 1 for r in first_round)
 
 
+def test_repetition_stats_hand_computed(spark):
+    """E29: repetition signals on hand-computed docs — the sorted-array
+    run-length fold must equal the explode/groupBy bigram mode."""
+    from iceberg_aws_event_based_table_management_spark.operators import text as TXo
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "go go go go")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TXo.repetition_stats(docs).collect()}
+    # doc 1: 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b] -> 2/3
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_ratio"] == 0.5
+    assert out[1]["top_bigram_ratio"] == round(2 / 3, 6)
+    # doc 2: all distinct -> dup 0; bigrams all unique -> 1/2
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[2]["top_bigram_ratio"] == 0.5
+    # doc 3: one word repeated -> dup 0.75; single bigram x3 -> 3/3
+    assert out[3]["dup_word_ratio"] == 0.75
+    assert out[3]["top_bigram_ratio"] == 1.0
+
+
 def test_token_budget_greedy_prefix(spark, sf_dir):
     """E28: kept tokens exhaust the 800 budget per source (kept_tokens
     >= 800 when the source has that many, and dropping the last
