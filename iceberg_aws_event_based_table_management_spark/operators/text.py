@@ -177,6 +177,71 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def heuristic_filter(documents: DataFrame) -> DataFrame:
+    """C4-style heuristic cleanup rules, all map-side:
+
+    - mean_word_len in [3, 10]  (gibberish / char-soup detector)
+    - symbol_word_ratio <= 0.2  (markup / boilerplate detector)
+    - n_words >= 50             (fragment floor)
+    - has_stopword              (C4's "contains an English function
+                                 word" rule, over STOPWORDS)
+
+    `keep` is the conjunction.  Word-length sum folds exact integers,
+    so mean_word_len is a single correctly-rounded double division —
+    bit-identical across engines."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    wlen_sum = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0)))
+    mean_word_len = wlen_sum.cast("double") / n_words.cast("double")
+    symbol_ratio = n_punct.cast("double") / n_words.cast("double")
+    has_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) >= 1
+    keep = (
+        (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio <= 0.2)
+        & (n_words >= 50)
+        & has_stop
+    )
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        has_stop.alias("has_stopword"),
+        keep.alias("keep"),
+    )
+
+
+def chunk_documents(documents: DataFrame, chunk_size: int = 32, stride: int = 24) -> DataFrame:
+    """Overlapping fixed-size word-window chunking (the RAG / context-
+    window splitter): chunk i covers words [i*stride, i*stride +
+    chunk_size).  A pure generator — sequence + transform build the
+    per-row chunk array, posexplode emits one row per chunk; no
+    shuffle, output partitioning inherits the input's."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(words, s + 1, chunk_size)).alias("chunk_text"),
+            F.least(F.size(words) - s, F.lit(chunk_size)).cast("long").alias("n_chunk_words"),
+        ),
+    )
+    return documents.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_words").alias("n_chunk_words"),
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style intra-document repetition signals, fully map-side:
 

@@ -281,6 +281,67 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_heuristic_filter",
+    tier="D",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+                    (a, x) -> a + x) AS DOUBLE) / len(ws) AS mwl,
+             CAST(n_punct AS DOUBLE) / len(ws) AS sym,
+             len(list_filter(ws, w -> w IN ({_STOP_SQL}))) >= 1 AS has_stop
+      FROM base
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(sym, 6) AS symbol_word_ratio,
+           has_stop AS has_stopword,
+           (mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.2 AND n_words >= 50 AND has_stop) AS keep
+    FROM m
+    """,
+)
+def text_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 pipeline op: C4-style heuristic cleanup decision — mean word
+    length band, symbol ratio, word-count floor, function-word presence.
+    Pure map-side built-ins; the word-length sum is an exact integer
+    fold, so the mean is one correctly-rounded division per engine."""
+    return TX.heuristic_filter(io.table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk_overlap",
+    tier="D",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           s // 24 AS chunk_id,
+           array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk_text,
+           CAST(least(len(ws) - s, 32) AS BIGINT) AS n_chunk_words
+    FROM base, unnest(range(0, len(ws), 24)) AS t(s)
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (chunk_size=32, stride=24) —
+    the RAG/context-window splitter.  sequence+transform+posexplode is
+    a pure map-side generator: no shuffle at any corpus size, and the
+    chunk rows inherit the input partitioning so a downstream
+    per-chunk embed step needs no repartition."""
+    return TX.chunk_documents(io.table(spark, sf_dir, "documents"), chunk_size=32, stride=24)
+
+
+@register(
     "text_pii_redact",
     tier="D",
     oracle=r"""

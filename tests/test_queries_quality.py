@@ -102,6 +102,51 @@ def test_repetition_stats_hand_computed(spark):
     assert out[3]["top_bigram_ratio"] == 1.0
 
 
+def test_heuristic_filter_rules(spark):
+    """E30: each rule flips `keep` independently."""
+    from iceberg_aws_event_based_table_management_spark.operators import text as TXo
+
+    long_good = "the " + "word " * 60  # >=50 words, has stopword, clean
+    out = {
+        r["doc_id"]: r
+        for r in TXo.heuristic_filter(
+            spark.createDataFrame(
+                [
+                    (1, long_good),
+                    (2, "the quick fox"),  # too short
+                    (3, "zz " * 70),  # no stopword
+                    (4, "the " + "!! " * 80),  # symbol ratio + word len
+                ],
+                ["doc_id", "text"],
+            )
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 3
+    assert out[3]["keep"] is False and out[3]["has_stopword"] is False
+    assert out[4]["keep"] is False and out[4]["symbol_word_ratio"] > 0.2
+
+
+def test_chunk_overlap_covers_document(spark):
+    """E31: chunks tile the word sequence with the stride/size contract
+    and reassemble to the original text."""
+    from iceberg_aws_event_based_table_management_spark.operators import text as TXo
+
+    words = [f"w{i}" for i in range(75)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    chunks = sorted(
+        TXo.chunk_documents(df, chunk_size=32, stride=24).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 0, 24, 48, 72 -> 4 chunks
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2, 3]
+    for r in chunks:
+        start = r["chunk_id"] * 24
+        expect = words[start : start + 32]
+        assert r["chunk_text"].split(" ") == expect
+        assert r["n_chunk_words"] == len(expect)
+
+
 def test_token_budget_greedy_prefix(spark, sf_dir):
     """E28: kept tokens exhaust the 800 budget per source (kept_tokens
     >= 800 when the source has that many, and dropping the last
