@@ -377,3 +377,25 @@ def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95) -> DataFra
     above tau inside label blocks; survivors = min vec_id per
     connected pair set is left to the caller."""
     return threshold_pairs_blocked(embeddings, tau)
+
+
+def normalize_quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize + symmetric int8 quantization (the 4x-smaller
+    embedding store every retrieval index builds): q_i = round(x_i /
+    ||x|| * 127).  Map-side transform only — zero shuffle, linear at
+    any corpus size.
+
+    Determinism: float→double casts are exact; the norm is a
+    left-to-right double fold (same order both engines) closed by one
+    sqrt; each element then sees one divide, one multiply, one
+    half-away-from-zero round — all single correctly-rounded IEEE ops
+    on identical inputs, so qvec is bit-identical across engines."""
+    v = as_double(F.col(vec_col))
+    nrm = norm(v)
+    qvec = F.transform(v, lambda x: F.round((x / nrm) * 127, 0).cast("int"))
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.round(nrm, 6).alias("l2_norm"),
+        qvec.alias("qvec"),
+    )

@@ -304,6 +304,33 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_normalize_quantize",
+    tier="D",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    )
+    SELECT vec_id, label,
+           ROUND(nrm, 6) AS l2_norm,
+           list_transform(vec, x -> CAST(round((x / nrm) * 127, 0) AS INTEGER)) AS qvec
+    FROM n
+    """,
+)
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E32: L2-normalize + symmetric int8 quantization — the embedding
+    store compaction every retrieval index runs (4x smaller, dot
+    products become int arithmetic downstream).  Map-side transform
+    only; determinism per the operator docstring (exact casts, ordered
+    fold, single IEEE ops)."""
+    return S.normalize_quantize_int8(io.table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "multimodal_join_docs_embeddings",
     tier="D",
     oracle=f"""

@@ -186,3 +186,21 @@ def test_connected_components_transitive_chain(spark):
     )
     comp = {r["doc_id"]: r["component_id"] for r in D.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_normalize_quantize_int8_hand_computed(spark):
+    """E32: [3,4] normalizes to [0.6, 0.8] -> int8 [76, 102]; every
+    component is bounded by 127 and the quantized vector reconstructs
+    the unit vector within 1/254 per element."""
+    from iceberg_aws_event_based_table_management_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [-1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r for r in S.normalize_quantize_int8(df).collect()}
+    assert out[1]["l2_norm"] == 5.0
+    assert out[1]["qvec"] == [76, 102]  # round(.6*127)=76.2->76, round(.8*127)=101.6->102
+    assert out[2]["qvec"] == [-127, 0]
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r["qvec"])
