@@ -379,6 +379,55 @@ def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95) -> DataFra
     return threshold_pairs_blocked(embeddings, tau)
 
 
+def label_centroid_outliers(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid + cosine-to-own-centroid outlier score (the
+    embedding-space pruning pass: far-from-centroid vectors are
+    mislabeled/noise candidates).
+
+    Shape: quantize once (VEC_Q scheme above) -> posexplode +
+    groupBy(label, pos) integer-mean builds the centroid table
+    (O(labels x dim) — broadcast) -> one broadcast join back scores
+    every vector map-side -> per-label rank window.  Two metadata-sized
+    shuffles (centroid agg, rank window); the corpus shuffles never.
+
+    Determinism: integer sums commute; the mean is floor(one double
+    divide); the score is one int->double dot + two sqrts + one
+    divide — all single correctly-rounded IEEE ops, so scores and
+    ranks are engine-identical (same argument as ivf_train)."""
+    xq = quantize(as_double(F.col(vec_col)))
+    base = embeddings.select("vec_id", "label", xq.alias("xq"))
+    cent = (
+        base.select("label", F.posexplode("xq").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count("*").cast("double"))
+            .cast("long")
+            .alias("mq")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mq"))), lambda s: s["mq"]
+            ).alias("cq")
+        )
+    )
+    joined = base.join(F.broadcast(cent), "label")
+    a, c = F.col("xq"), F.col("cq")
+    score = F.round(
+        _int_dot(a, c).cast("double")
+        / (
+            F.sqrt(_int_dot(a, a).cast("double"))
+            * F.sqrt(_int_dot(c, c).cast("double"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("centroid_sim"), F.asc("vec_id"))
+    return (
+        joined.select("vec_id", "label", score.alias("centroid_sim"))
+        .withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+    )
+
+
 def normalize_quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize + symmetric int8 quantization (the 4x-smaller
     embedding store every retrieval index builds): q_i = round(x_i /

@@ -304,6 +304,45 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_label_outliers",
+    tier="D",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, label,
+             list_transform(embedding, e -> CAST(FLOOR(CAST(e AS DOUBLE) * {float(S.VEC_Q)}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label, j AS pos,
+             CAST(FLOOR(CAST(SUM(xq[j]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mq
+      FROM x, UNNEST(generate_series(1, 64)) t(j)
+      GROUP BY label, j
+    ),
+    c AS (SELECT label, list(mq ORDER BY pos) AS cq FROM m GROUP BY label),
+    s AS (
+      SELECT x.vec_id, x.label,
+             ROUND(
+               CAST(list_sum(list_transform(generate_series(1, 64), j -> xq[j] * cq[j])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(xq, v -> v * v)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(cq, v -> v * v)) AS DOUBLE))), 6) AS centroid_sim
+      FROM x JOIN c USING (label)
+    )
+    SELECT vec_id, label, centroid_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY centroid_sim ASC, vec_id) AS BIGINT) AS outlier_rank
+    FROM s
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33: per-label centroid + cosine-to-centroid outlier ranking —
+    the embedding-space pruning pass (mislabeled/noise candidates rank
+    first).  Centroids via the VEC_Q integer-mean scheme (exact across
+    engines, same argument as ann_topk_ivf); centroid table is
+    O(labels x dim) and broadcasts; the corpus itself never shuffles
+    except the rank window."""
+    return S.label_centroid_outliers(io.table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "embedding_normalize_quantize",
     tier="D",
     oracle="""

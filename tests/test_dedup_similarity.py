@@ -204,3 +204,22 @@ def test_normalize_quantize_int8_hand_computed(spark):
     assert out[2]["qvec"] == [-127, 0]
     for r in out.values():
         assert all(-127 <= q <= 127 for q in r["qvec"])
+
+
+def test_label_centroid_outlier_ranks_odd_one_out_first(spark):
+    """E33: in a label block of near-identical vectors plus one
+    orthogonal vector, the orthogonal one gets outlier_rank 1."""
+    from iceberg_aws_event_based_table_management_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.95, 0.05, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 0),  # the outlier
+        (5, [0.0, 1.0, 0.0], 1),  # singleton label: sim 1, rank 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in S.label_centroid_outliers(df).collect()}
+    assert out[4]["outlier_rank"] == 1
+    assert {out[k]["outlier_rank"] for k in (1, 2, 3)} == {2, 3, 4}
+    assert out[5]["outlier_rank"] == 1 and out[5]["centroid_sim"] == 1.0
