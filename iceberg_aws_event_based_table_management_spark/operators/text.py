@@ -177,18 +177,9 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def heuristic_filter(documents: DataFrame) -> DataFrame:
-    """C4-style heuristic cleanup rules, all map-side:
-
-    - mean_word_len in [3, 10]  (gibberish / char-soup detector)
-    - symbol_word_ratio <= 0.2  (markup / boilerplate detector)
-    - n_words >= 50             (fragment floor)
-    - has_stopword              (C4's "contains an English function
-                                 word" rule, over STOPWORDS)
-
-    `keep` is the conjunction.  Word-length sum folds exact integers,
-    so mean_word_len is a single correctly-rounded double division —
-    bit-identical across engines."""
+def _heuristic_parts():
+    """(n_words, mean_word_len, symbol_ratio, has_stop, keep) as bare
+    columns, shared by the standalone operator and compositions."""
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n_words = F.size(words)
     wlen_sum = F.aggregate(
@@ -207,6 +198,29 @@ def heuristic_filter(documents: DataFrame) -> DataFrame:
         & (n_words >= 50)
         & has_stop
     )
+    return n_words, mean_word_len, symbol_ratio, has_stop, keep
+
+
+def heuristic_keep_col() -> Column:
+    """The C4-rule conjunction as a bare column, so compositions filter
+    in place instead of joining the corpus to a projection of itself
+    (see token_count_col note)."""
+    return _heuristic_parts()[4]
+
+
+def heuristic_filter(documents: DataFrame) -> DataFrame:
+    """C4-style heuristic cleanup rules, all map-side:
+
+    - mean_word_len in [3, 10]  (gibberish / char-soup detector)
+    - symbol_word_ratio <= 0.2  (markup / boilerplate detector)
+    - n_words >= 50             (fragment floor)
+    - has_stopword              (C4's "contains an English function
+                                 word" rule, over STOPWORDS)
+
+    `keep` is the conjunction.  Word-length sum folds exact integers,
+    so mean_word_len is a single correctly-rounded double division —
+    bit-identical across engines."""
+    n_words, mean_word_len, symbol_ratio, has_stop, keep = _heuristic_parts()
     return documents.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
@@ -217,12 +231,19 @@ def heuristic_filter(documents: DataFrame) -> DataFrame:
     )
 
 
-def chunk_documents(documents: DataFrame, chunk_size: int = 32, stride: int = 24) -> DataFrame:
+def chunk_documents(
+    documents: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Overlapping fixed-size word-window chunking (the RAG / context-
     window splitter): chunk i covers words [i*stride, i*stride +
     chunk_size).  A pure generator — sequence + transform build the
     per-row chunk array, posexplode emits one row per chunk; no
-    shuffle, output partitioning inherits the input's."""
+    shuffle, output partitioning inherits the input's.  `keep_cols`
+    are carried through onto every chunk row (dimension columns like
+    source/lang)."""
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
     chunks = F.transform(
@@ -233,29 +254,20 @@ def chunk_documents(documents: DataFrame, chunk_size: int = 32, stride: int = 24
         ),
     )
     return documents.select(
-        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+        "doc_id", *keep_cols, F.posexplode(chunks).alias("chunk_id", "c")
     ).select(
         "doc_id",
+        *keep_cols,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_words").alias("n_chunk_words"),
     )
 
 
-def repetition_stats(documents: DataFrame) -> DataFrame:
-    """Gopher-style intra-document repetition signals, fully map-side:
-
-    - dup_word_ratio: 1 - distinct/total words (vocabulary collapse)
-    - top_bigram_ratio: multiplicity of the most frequent word 2-gram
-      over total 2-grams (loop/boilerplate detector)
-
-    The bigram mode is computed WITHOUT a shuffle: sort the row's
-    bigram array, then a single fold tracks the longest equal-run —
-    O(n log n) per document, zero exchanges, stays in whole-stage
-    codegen.  (The explode -> groupBy(doc_id, bigram) -> max
-    formulation shuffles every bigram token; per-row arrays make that
-    a local computation — the DuckDB oracle uses the explode form,
-    which is fine for a correctness check.)"""
+def _repetition_parts():
+    """(n_words, dup_word_ratio, top_bigram_ratio) as bare columns
+    (rounded to 6), shared by the standalone operator and
+    compositions."""
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
@@ -277,13 +289,37 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         return F.struct(x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best"))
 
     top_bigram = F.aggregate(bigrams, acc0, step, lambda a: a["best"])
+    dup_ratio = F.round(F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double"), 6)
+    top_ratio = F.round(top_bigram.cast("double") / (n_words - 1).cast("double"), 6)
+    return n_words, dup_ratio, top_ratio
+
+
+def repetition_keep_col(max_dup: float = 0.6, max_top_bigram: float = 0.1) -> Column:
+    """The Gopher-rule conjunction as a bare column for in-place
+    composition filtering (thresholds on the ROUNDed ratios, so the
+    boundary compare is engine-stable)."""
+    _, dup_ratio, top_ratio = _repetition_parts()
+    return (dup_ratio <= max_dup) & (top_ratio <= max_top_bigram)
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition signals, fully map-side:
+
+    - dup_word_ratio: 1 - distinct/total words (vocabulary collapse)
+    - top_bigram_ratio: multiplicity of the most frequent word 2-gram
+      over total 2-grams (loop/boilerplate detector)
+
+    The bigram mode is computed WITHOUT a shuffle: sort the row's
+    bigram array, then a single fold tracks the longest equal-run —
+    O(n log n) per document, zero exchanges, stays in whole-stage
+    codegen.  (The explode -> groupBy(doc_id, bigram) -> max
+    formulation shuffles every bigram token; per-row arrays make that
+    a local computation — the DuckDB oracle uses the explode form,
+    which is fine for a correctness check.)"""
+    n_words, dup_ratio, top_ratio = _repetition_parts()
     return documents.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(F.lit(1.0) - n_distinct.cast("double") / n_words.cast("double"), 6).alias(
-            "dup_word_ratio"
-        ),
-        F.round(
-            top_bigram.cast("double") / (n_words - 1).cast("double"), 6
-        ).alias("top_bigram_ratio"),
+        dup_ratio.alias("dup_word_ratio"),
+        top_ratio.alias("top_bigram_ratio"),
     )

@@ -342,6 +342,91 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_rag_corpus",
+    tier="D",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM base, unnest(range(1, len(ws))) AS t(i)
+    ),
+    topb AS (
+      SELECT doc_id, MAX(c) AS top_c
+      FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+    ),
+    m AS (
+      SELECT b.doc_id, b.source, len(ws) AS n_words,
+             CAST(list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+                    (a, x) -> a + x) AS DOUBLE) / len(ws) AS mwl,
+             CAST(n_punct AS DOUBLE) / len(ws) AS sym,
+             len(list_filter(ws, w -> w IN ({_STOP_SQL}))) >= 1 AS has_stop,
+             ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS dup_r,
+             ROUND(CAST(COALESCE(top_c, 0) AS DOUBLE) / (len(ws) - 1), 6) AS top_r
+      FROM base b LEFT JOIN topb USING (doc_id)
+    ),
+    kept AS (
+      SELECT doc_id, source, n_words FROM m
+      WHERE mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.2 AND n_words >= 50 AND has_stop
+        AND dup_r <= 0.6 AND top_r <= 0.1
+    ),
+    chunks AS (
+      SELECT doc_id, source, CAST(least(n_words - s, 32) AS BIGINT) AS n_chunk_words
+      FROM kept, unnest(range(0, n_words, 24)) AS t(s)
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_chunk_words) AS BIGINT) AS total_chunk_words,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6) AS chunks_per_doc
+    FROM chunks GROUP BY source
+    """,
+)
+def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition #2 — the RAG-ingest pipeline: C4 heuristic
+    cleanup (E30) AND Gopher repetition filter (E29) applied in place
+    as map-side predicates, then per-source chunk accounting for the
+    E31 chunker (chunk_size=32, stride=24).
+
+    Scale shape: zero corpus self-joins (both filters are bare-column
+    conjunctions on the scan), and the chunk counts/word totals are
+    computed as a map-side FOLD over the chunk-start array — the chunk
+    rows never materialize and no count-distinct expansion is needed,
+    so the whole pipeline is scan -> filter -> project -> partial agg
+    -> ONE shuffle.  (The oracle aggregates the exploded chunk rows —
+    same numbers, the shape this plan deliberately avoids.)"""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = docs.filter(TX.heuristic_keep_col() & TX.repetition_keep_col())
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    starts = F.sequence(F.lit(0), n_words - 1, F.lit(24))
+    chunk_words = F.aggregate(
+        starts,
+        F.lit(0).cast("long"),
+        lambda a, s: a + F.least(n_words - s, F.lit(32)).cast("long"),
+    )
+    per_doc = kept.select(
+        "source",
+        F.size(starts).cast("long").alias("n_chunks_doc"),
+        chunk_words.alias("chunk_words_doc"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chunks_doc").cast("long").alias("n_chunks"),
+        F.sum("chunk_words_doc").cast("long").alias("total_chunk_words"),
+        F.round(
+            F.sum("n_chunks_doc").cast("double") / F.count("*"), 6
+        ).alias("chunks_per_doc"),
+    )
+
+
+@register(
     "text_pii_redact",
     tier="D",
     oracle=r"""

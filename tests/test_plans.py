@@ -183,10 +183,24 @@ def test_scalar_and_text_suites_are_map_side(spark, sf_dir, qmap):
         "scalar_math_suite",
         "text_token_stats",
         "text_pii_redact",
+        "text_repetition_stats",
+        "text_heuristic_filter",
+        "text_chunk_overlap",
+        "embedding_normalize_quantize",
     ):
         plan = _plan(qmap[name](spark, sf_dir))
         assert plan.count("Exchange hashpartitioning") == 0, f"{name} shuffles:\n{plan}"
         assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"
+
+
+def test_rag_pipeline_single_shuffle_no_explode(spark, sf_dir, qmap):
+    """pipeline_rag_corpus computes chunk accounting as a map-side fold:
+    exactly ONE exchange (the per-source agg), no generator node, no
+    count-distinct Expand."""
+    plan = _plan(qmap["pipeline_rag_corpus"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "Expand" not in plan, plan
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
