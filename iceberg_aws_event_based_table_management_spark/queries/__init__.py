@@ -50,6 +50,16 @@ def load() -> None:
         "case_when_bucket",
         "join_inner_orders_customer",
         "join_broadcast_nation_region",
+        # Added mid-round-3 AFTER the window above was planned; demoted
+        # so they don't displace the never-graded UDF/text queries from
+        # the 50-slot window.  All are check.py-verified; they rotate
+        # into the round-4 window.
+        "text_repetition_stats",
+        "text_heuristic_filter",
+        "text_chunk_overlap",
+        "pipeline_rag_corpus",
+        "embedding_label_outliers",
+        "embedding_normalize_quantize",
     )
 
     _LOADED = True
