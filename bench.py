@@ -39,6 +39,7 @@ HEADLINE = [
     "merge_upsert_orders",
     "composite_shipping_priority",
     "pipeline_training_corpus",
+    "pipeline_rag_corpus",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "topk_similarity_bruteforce",

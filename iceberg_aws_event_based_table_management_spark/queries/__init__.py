@@ -60,6 +60,7 @@ def load() -> None:
         "pipeline_rag_corpus",
         "embedding_label_outliers",
         "embedding_normalize_quantize",
+        "profile_table_stats",
     )
 
     _LOADED = True

@@ -227,3 +227,79 @@ def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "profile_table_stats",
+    tier="E",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_id,
+             COUNT(DISTINCT doc_id) AS dist_id,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_id, CAST(MAX(doc_id) AS VARCHAR) AS max_id,
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+             COUNT(DISTINCT lang) AS dist_lang,
+             MIN(lang) AS min_lang, MAX(lang) AS max_lang,
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_src,
+             COUNT(DISTINCT source) AS dist_src,
+             MIN(source) AS min_src, MAX(source) AS max_src,
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_nc,
+             COUNT(DISTINCT n_chars) AS dist_nc,
+             CAST(MIN(n_chars) AS VARCHAR) AS min_nc, CAST(MAX(n_chars) AS VARCHAR) AS max_nc
+      FROM documents
+    )
+    SELECT 'doc_id' AS col_name, n_rows, null_id AS n_nulls, dist_id AS n_distinct,
+           min_id AS min_value, max_id AS max_value FROM a
+    UNION ALL
+    SELECT 'lang', n_rows, null_lang, dist_lang, min_lang, max_lang FROM a
+    UNION ALL
+    SELECT 'source', n_rows, null_src, dist_src, min_src, max_src FROM a
+    UNION ALL
+    SELECT 'n_chars', n_rows, null_nc, dist_nc, min_nc, max_nc FROM a
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35: single-pass table profiler (the ANALYZE TABLE / data-audit
+    shape): per-column null count, exact distinct count, min and max —
+    ALL columns in ONE aggregation job, vs the naive one-job-per-column
+    profiler.  The one global agg is the only shuffle (multi
+    count-distinct expands map-side); at 100 TB swap the exact
+    distincts for approx_count_distinct and the plan is unchanged.
+    Values surface as strings so heterogeneous column types share one
+    long-format schema."""
+    docs = io.table(spark, sf_dir, "documents")
+
+    def metrics(c: str, alias: str):
+        return [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{alias}"),
+            F.countDistinct(c).alias(f"dist_{alias}"),
+            F.min(c).cast("string").alias(f"min_{alias}"),
+            F.max(c).cast("string").alias(f"max_{alias}"),
+        ]
+
+    a = docs.agg(
+        F.count("*").alias("n_rows"),
+        *metrics("doc_id", "id"),
+        *metrics("lang", "lang"),
+        *metrics("source", "src"),
+        *metrics("n_chars", "nc"),
+    )
+    cols = [("doc_id", "id"), ("lang", "lang"), ("source", "src"), ("n_chars", "nc")]
+    return a.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.col(f"null_{al}").alias("n_nulls"),
+                        F.col(f"dist_{al}").alias("n_distinct"),
+                        F.col(f"min_{al}").alias("min_value"),
+                        F.col(f"max_{al}").alias("max_value"),
+                    )
+                    for c, al in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
