@@ -61,6 +61,7 @@ def load() -> None:
         "embedding_label_outliers",
         "embedding_normalize_quantize",
         "profile_table_stats",
+        "audit_referential_integrity",
     )
 
     _LOADED = True

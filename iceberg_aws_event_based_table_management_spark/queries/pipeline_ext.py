@@ -601,3 +601,86 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).cast("long").alias("kept_tokens"),
     )
+
+
+@register(
+    "corpus_length_histogram",
+    tier="E",
+    oracle="""
+    SELECT source,
+           n_chars // 100 AS bucket,
+           (n_chars // 100) * 100 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bucket_chars
+    FROM documents
+    GROUP BY source, n_chars // 100
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36: fixed-width document-length histogram per source (the
+    corpus-shape report every ingest run emits).  Fixed 100-char
+    buckets are computed map-side from the metadata column — no min/max
+    pre-pass, no second scan; one agg shuffle keyed on (source,
+    bucket), both bounded."""
+    docs = io.table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 100).cast("long")
+    return (
+        docs.select("source", bucket.alias("bucket"), "n_chars")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("bucket_chars"),
+        )
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * 100).alias("bucket_lo"),
+            "n_docs",
+            "bucket_chars",
+        )
+    )
+
+
+@register(
+    "quality_gate_adaptive",
+    tier="E",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             ROUND(0.4 * least(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+                 + 0.4 * least(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                      w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+                         / greatest(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE), 1.0) * 4, 1.0)
+                 + 0.2 * (1 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                          / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10, 1.0)), 6) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, q,
+             ROUND(percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id), 6) AS q_pctile
+      FROM scored
+    )
+    SELECT doc_id, lang, q AS quality_score, q_pctile
+    FROM ranked WHERE q_pctile >= 0.5
+    """,
+)
+def quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37: ADAPTIVE quality gating — keep each language's top half by
+    quality percentile, not a fixed global threshold (fixed thresholds
+    over/under-prune low/high-resource languages; percentile gates are
+    mixture-preserving).  quality is the registered map-side score
+    (text_quality_score); the percentile is one window per lang with a
+    doc_id tiebreak so ranks are engine-stable.  One shuffle total."""
+    docs = io.table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("q"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", TXo.quality_score_col().alias("q"))
+        .withColumn("q_pctile", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("q_pctile") >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("q").alias("quality_score"),
+            "q_pctile",
+        )
+    )

@@ -303,3 +303,73 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+@register(
+    "audit_referential_integrity",
+    tier="E",
+    oracle="""
+    WITH rels AS (
+      SELECT 'orders->customer' AS relation, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem->orders', COUNT(*),
+             CAST(SUM(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+        ON l.l_orderkey = k.o_orderkey
+      UNION ALL
+      SELECT 'lineitem->part', COUNT(*),
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem->supplier', COUNT(*),
+             CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT relation, n_rows, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_pct
+    FROM rels
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38: referential-integrity audit — orphan-FK counts for the four
+    fact->dim relations, each as ONE left join + conditional count (no
+    separate anti-join pass + count pass).  Dim keys are
+    distinct-projected before the join; at 100 TB each relation is one
+    shuffle (or a broadcast when the dim fits), and the four audits
+    run as independent union branches in a single job."""
+
+    def fk_audit(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
+        c = child.select(F.col(fk).alias("fk"))
+        p = parent.select(F.col(pk).alias("pk")).distinct()
+        return (
+            c.join(p, c.fk == p.pk, "left")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("pk").isNull().cast("long")).alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_rows",
+                "n_orphans",
+                F.round(F.col("n_orphans").cast("double") / F.col("n_rows"), 6).alias(
+                    "orphan_pct"
+                ),
+            )
+        )
+
+    o = io.table(spark, sf_dir, "orders")
+    li = io.table(spark, sf_dir, "lineitem")
+    cu = io.table(spark, sf_dir, "customer")
+    pa = io.table(spark, sf_dir, "part")
+    su = io.table(spark, sf_dir, "supplier")
+    return (
+        fk_audit(o, "o_custkey", cu, "c_custkey", "orders->customer")
+        .unionByName(fk_audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .unionByName(fk_audit(li, "l_partkey", pa, "p_partkey", "lineitem->part"))
+        .unionByName(fk_audit(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"))
+    )
