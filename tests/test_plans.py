@@ -203,6 +203,29 @@ def test_rag_pipeline_single_shuffle_no_explode(spark, sf_dir, qmap):
     assert "Expand" not in plan, plan
 
 
+def test_histogram_buckets_map_side_single_agg(spark, sf_dir, qmap):
+    """corpus_length_histogram buckets map-side (no min/max pre-pass =
+    no extra job/exchange): one agg exchange, nothing else."""
+    plan = _plan(qmap["corpus_length_histogram"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_profiler_single_aggregation_job(spark, sf_dir, qmap):
+    """profile_table_stats profiles every column in ONE aggregation
+    (single scan, single exchange) — not a job per column."""
+    plan = _plan(qmap["profile_table_stats"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_fk_audit_no_cartesian_all_branches(spark, sf_dir, qmap):
+    """audit_referential_integrity: four independent left-join branches,
+    no cartesian products, dims distinct-projected before joining."""
+    plan = _plan(qmap["audit_referential_integrity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Union") >= 1, plan
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # Hive-style partitioned sink + filter on the partition column:
     # the read plan must prune to one partition directory (the scan's
