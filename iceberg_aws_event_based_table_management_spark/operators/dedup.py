@@ -263,3 +263,40 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def incremental_admit(base: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental ingest dedup — the production shape: an incoming
+    batch is admitted against the EXISTING corpus's content-hash set,
+    never by re-deduplicating the whole corpus.  Per batch doc:
+
+    - 'dup_of_base'  — content hash already in the corpus
+    - 'dup_in_batch' — another batch doc with the same hash and a
+                       smaller doc_id wins
+    - 'new'          — admitted
+
+    Scale shape: the base side is projected to DISTINCT hashes (the
+    seen-hash index — bytes per corpus doc); the batch joins it on h
+    and ranks within h, so both exchanges hash-partition on the same
+    key and AQE can co-locate them.  Corpus text is never reshuffled;
+    at 100 TB the seen-hash set is a maintained index table, and this
+    operator is one bounded join + one window over the BATCH only."""
+    h = F.sha2(F.col("text"), 256)
+    seen = base.select(h.alias("h")).distinct().withColumn("in_base", F.lit(True))
+    b = batch.select("doc_id", h.alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flags = (
+        b.join(seen, "h", "left")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("dup_of_base", F.coalesce(F.col("in_base"), F.lit(False)))
+    )
+    reason = (
+        F.when(F.col("dup_of_base"), F.lit("dup_of_base"))
+        .when(F.col("rk") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return flags.select(
+        "doc_id",
+        reason.alias("reason"),
+        (~F.col("dup_of_base") & (F.col("rk") == 1)).alias("admitted"),
+    )

@@ -285,3 +285,57 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.array_sort(F.collect_list("doc_id")).alias("members"),
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    tier="D",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 <> 3
+    ),
+    batch AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 = 3
+      UNION ALL
+      SELECT doc_id + 2000000, sha256(text) FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, sha256(text) FROM documents WHERE doc_id % 20 = 3
+    ),
+    seen AS (SELECT DISTINCT h FROM base),
+    flags AS (
+      SELECT b.doc_id, s.h IS NOT NULL AS dup_of_base,
+             ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rk
+      FROM batch b LEFT JOIN seen s USING (h)
+    )
+    SELECT doc_id,
+           CASE WHEN dup_of_base THEN 'dup_of_base'
+                WHEN rk > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS reason,
+           (NOT dup_of_base AND rk = 1) AS admitted
+    FROM flags
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39: incremental ingest dedup — an incoming batch (new docs +
+    re-ingested corpus docs + intra-batch repeats, all derived
+    deterministically from the fixture) admitted against the existing
+    corpus's seen-hash set.  The full-corpus re-dedup
+    (dedup_exact_documents) is the bootstrap; THIS is the shape every
+    subsequent ingest runs — the corpus contributes only its hash
+    index, and all work is proportional to the batch."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 3)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 3)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 2_000_000
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 3).withColumn(
+                "doc_id", F.col("doc_id") + 3_000_000
+            )
+        )
+    )
+    return D.incremental_admit(base, batch)

@@ -223,3 +223,25 @@ def test_label_centroid_outlier_ranks_odd_one_out_first(spark):
     assert out[4]["outlier_rank"] == 1
     assert {out[k]["outlier_rank"] for k in (1, 2, 3)} == {2, 3, 4}
     assert out[5]["outlier_rank"] == 1 and out[5]["centroid_sim"] == 1.0
+
+
+def test_incremental_admit_reasons(spark):
+    """E39: batch docs classify as dup_of_base / dup_in_batch / new,
+    and exactly one doc per novel hash is admitted."""
+    base = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dup of base
+            (11, "gamma"),   # new
+            (12, "gamma"),   # intra-batch dup of 11
+            (13, "delta"),   # new
+        ],
+        ["doc_id", "text"],
+    )
+    from iceberg_aws_event_based_table_management_spark.operators import dedup as DD
+
+    out = {r["doc_id"]: r for r in DD.incremental_admit(base, batch).collect()}
+    assert out[10]["reason"] == "dup_of_base" and not out[10]["admitted"]
+    assert out[11]["reason"] == "new" and out[11]["admitted"]
+    assert out[12]["reason"] == "dup_in_batch" and not out[12]["admitted"]
+    assert out[13]["reason"] == "new" and out[13]["admitted"]
