@@ -339,3 +339,60 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.incremental_admit(base, batch)
+
+
+@register(
+    "corpus_version_diff",
+    tier="E",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 7 <> 2
+    ),
+    v2 AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 <> 4
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.h AS h1, b.h AS h2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN h1 IS NULL THEN 'added'
+                WHEN h2 IS NULL THEN 'removed'
+                WHEN h1 <> h2 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40: dataset-version diff — per-doc added/removed/changed/
+    unchanged between two corpus versions (derived deterministically
+    from the fixture: v1 drops doc_id%7==2, v2 drops %5==4 and revises
+    %11==0).  One full-outer join on doc_id comparing content hashes;
+    both sides hash only (text never shuffles).  Complements E5's
+    commit-activity CDC: that diffs the table's COMMIT history, this
+    diffs the table's CONTENT between two pinned versions — the audit
+    a training-data registry runs before promoting a corpus build."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h1")
+    )
+    v2 = docs.filter(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("h2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"))
