@@ -684,3 +684,41 @@ def quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_pctile",
         )
     )
+
+
+@register(
+    "split_train_val_test",
+    tier="E",
+    oracle=r"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             CAST(list_reduce(string_split('0' || substr(md5(text), 1, 15), ''),
+                              (acc, c) -> CAST(acc AS BIGINT) * 16
+                                          + strpos('0123456789abcdef', c) - 1)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 1 THEN 'val'
+                WHEN bucket < 2 THEN 'test'
+                ELSE 'train' END AS split
+    FROM hashed
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41: deterministic train/val/test assignment (98/1/1) by CONTENT
+    hash, not row order or RNG — re-ingesting, re-partitioning, or
+    re-running can never move a document across splits, and exact
+    duplicates land in the same split (no train->val leakage through
+    dups).  Map-side expression on the engine-neutral md5 hash
+    (operators/dedup.py neutral_word_hash), zero shuffle."""
+    from ..operators.dedup import neutral_word_hash
+
+    docs = io.table(spark, sf_dir, "documents")
+    bucket = neutral_word_hash(F.col("text")) % 100
+    split = (
+        F.when(bucket < 1, F.lit("val"))
+        .when(bucket < 2, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
