@@ -155,3 +155,48 @@ def test_token_budget_greedy_prefix(spark, sf_dir):
         assert 1 <= r["n_kept"] <= r["n_docs"]
         if r["n_kept"] < r["n_docs"]:  # budget actually cut this source
             assert r["kept_tokens"] >= 800
+
+
+def test_split_stable_under_repartition(spark, sf_dir):
+    """E41: split assignment is content-keyed — repartitioning the
+    input cannot move any document across splits, and train dominates
+    (98/1/1 target)."""
+    q = _q("split_train_val_test")
+    a = {r["doc_id"]: r["split"] for r in q(spark, sf_dir).collect()}
+    docs = io.table(spark, sf_dir, "documents").repartition(17)
+    from iceberg_aws_event_based_table_management_spark.operators.dedup import (
+        neutral_word_hash,
+    )
+
+    bucket = neutral_word_hash(F.col("text")) % 100
+    split = (
+        F.when(bucket < 1, F.lit("val"))
+        .when(bucket < 2, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    b = {r["doc_id"]: r["split"] for r in docs.select("doc_id", split.alias("split")).collect()}
+    assert a == b
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert counts["train"] > 0.9 * len(a)
+
+
+def test_version_diff_statuses_partition_union(spark, sf_dir):
+    """E40: every doc in v1 ∪ v2 appears exactly once, and statuses
+    match the defining predicates (removed = dropped from v2, added =
+    absent from v1, changed = revised in v2)."""
+    rows = _q("corpus_version_diff")(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r["status"] for r in rows}
+    assert len(by_id) == len(rows)  # one row per doc
+    for doc_id, status in by_id.items():
+        in_v1 = doc_id % 7 != 2
+        in_v2 = doc_id % 5 != 4
+        revised = doc_id % 11 == 0
+        expect = (
+            "added" if not in_v1
+            else "removed" if not in_v2
+            else "changed" if revised
+            else "unchanged"
+        )
+        assert status == expect, (doc_id, status, expect)
