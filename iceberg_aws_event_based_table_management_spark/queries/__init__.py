@@ -62,6 +62,7 @@ def load() -> None:
         "embedding_normalize_quantize",
         "profile_table_stats",
         "audit_referential_integrity",
+        "window_forward_fill",
     )
 
     _LOADED = True

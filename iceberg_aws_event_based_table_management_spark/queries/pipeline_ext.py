@@ -722,3 +722,52 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "text_rarity_score",
+    tier="E",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        w -> w <> '')) AS word
+      FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS n_w FROM words GROUP BY word)
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           ROUND(CAST(SUM(f.n_w) AS DOUBLE) / COUNT(*), 6) AS mean_word_freq,
+           ROUND(CAST(SUM(CASE WHEN f.n_w <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_ratio
+    FROM words w JOIN freq f USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42: corpus-frequency rarity scoring (the CCNet-style LM-quality
+    proxy without the LM): per doc, the mean corpus frequency of its
+    words and the fraction of rare words (corpus count <= 2).  High
+    rare_ratio = gibberish/OOV-heavy candidates; unusually high
+    mean_word_freq = boilerplate.  All accumulators are exact integer
+    counts — the only float op is one final division, so scores are
+    engine-identical with no quantization needed.  Shape: one vocab
+    agg, one word-keyed join back (broadcast while the vocab fits,
+    shuffle join at scale), one per-doc agg."""
+    docs = io.table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("word").agg(F.count("*").alias("n_w"))
+    return (
+        words.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.sum("n_w").cast("double") / F.count("*"), 6).alias(
+                "mean_word_freq"
+            ),
+            F.round(
+                F.sum((F.col("n_w") <= 2).cast("long")).cast("double") / F.count("*"), 6
+            ).alias("rare_ratio"),
+        )
+    )

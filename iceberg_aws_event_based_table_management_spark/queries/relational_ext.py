@@ -373,3 +373,44 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk_audit(li, "l_partkey", pa, "p_partkey", "lineitem->part"))
         .unionByName(fk_audit(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"))
     )
+
+
+@register(
+    "window_forward_fill",
+    tier="E",
+    oracle="""
+    WITH gappy AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE o_totalprice END AS v
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM gappy
+    """,
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43: forward-fill repair — nulls (injected deterministically on
+    o_orderkey % 7 = 3) take the last non-null value in order-date
+    order per customer; leading nulls stay null.  The standard
+    sensor/ledger gap-repair idiom: last(ignorenulls) over an
+    unbounded-preceding frame, one window shuffle on the bounded
+    partition key, tiebreak o_orderkey for engine-stable order."""
+    o = io.table(spark, sf_dir, "orders")
+    v = F.when(F.col("o_orderkey") % 7 == 3, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"),
+    )
