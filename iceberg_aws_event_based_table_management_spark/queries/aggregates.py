@@ -351,3 +351,60 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
         "n_orders", "total_value",
     )
+
+
+@register(
+    "session_commit_bursts",
+    tier="C",
+    oracle=f"""
+    WITH snapshots AS ({io.SNAPSHOTS_CTE}),
+    g AS (
+      SELECT table_name, snapshot_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 86400000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM snapshots
+      WINDOW w AS (PARTITION BY table_name ORDER BY ts, snapshot_id)
+    ),
+    s AS (
+      SELECT table_name, ts,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY table_name ORDER BY ts, snapshot_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT table_name, session_id,
+           COUNT(*) AS n_commits,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+    FROM s GROUP BY table_name, session_id
+    """,
+)
+def session_commit_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 batch companion: gaps-and-islands sessionization — commit
+    bursts per table with a 24h inactivity timeout, via lag-gap flag +
+    running-sum session ids (the batch form of the streaming session
+    window, same semantics on static data).  Two exchanges: the
+    table_name window, then the (table, session) agg — the second
+    reuses table_name in its key, so AQE coalesces it against the same
+    layout.  Deterministic: (ts, snapshot_id) total order."""
+    snaps = io.snapshots(spark, sf_dir)
+    w = Window.partitionBy("table_name").orderBy("ts", "snapshot_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_millis(F.col("ts")) - F.unix_millis(prev)) > 86_400_000)
+    ).cast("long")
+    s = snaps.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("table_name", "session_id").agg(
+        F.count("*").alias("n_commits"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))
+        ).alias("duration_ms"),
+    )
