@@ -408,3 +408,55 @@ def session_commit_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))
         ).alias("duration_ms"),
     )
+
+
+@register(
+    "anomaly_commit_rate",
+    tier="C",
+    oracle=f"""
+    WITH snapshots AS ({io.SNAPSHOTS_CTE}),
+    daily AS (
+      SELECT table_name, CAST(ts AS DATE) AS day, COUNT(*) AS n_commits
+      FROM snapshots GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT table_name,
+             COUNT(*) AS n_days,
+             CAST(SUM(n_commits) AS BIGINT) AS s1,
+             CAST(SUM(n_commits * n_commits) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT d.table_name, d.day, d.n_commits,
+           (d.n_commits * s.n_days - s.s1) * (d.n_commits * s.n_days - s.s1)
+             > 4 * (s.n_days * s.s2 - s.s1 * s.s1) AS is_anomaly
+    FROM daily d JOIN stats s USING (table_name)
+    """,
+)
+def anomaly_commit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E45: commit-rate anomaly detection — days whose commit count
+    deviates more than 2 sigma from the table's mean.  The z-test is
+    algebraically rearranged to EXACT int64 arithmetic ((x*n - sum)^2 >
+    k^2 * (n*sumsq - sum^2), population variance) — no float mean/std,
+    no sqrt, so the flag is engine-identical with no rounding guard.
+    Shape: daily-count agg, table-level (n, sum, sumsq) agg (both
+    partial-aggregate map-side), then the table-count-sized stats
+    broadcast back.  Bounds: counts*days < 2^26 here, squares < 2^52 —
+    int64-safe far past this fixture."""
+    snaps = io.snapshots(spark, sf_dir)
+    daily = snaps.groupBy(
+        "table_name", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n_commits"))
+    stats = daily.groupBy("table_name").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_commits").cast("long").alias("s1"),
+        F.sum(F.col("n_commits") * F.col("n_commits")).cast("long").alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "table_name")
+    dev = F.col("n_commits") * F.col("n_days") - F.col("s1")
+    var_n2 = F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")
+    return j.select(
+        "table_name",
+        "day",
+        "n_commits",
+        (dev * dev > 4 * var_n2).alias("is_anomaly"),
+    )
