@@ -771,3 +771,93 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_ratio"),
         )
     )
+
+
+@register(
+    "corpus_mixture_apply",
+    tier="E",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+             COUNT(*) AS n_sources
+      FROM per_source
+    ),
+    thresh AS (
+      SELECT source, n_docs,
+             (1000000 * t.corpus_tokens) // (t.n_sources * s.total_tokens) AS admit_ppm
+      FROM per_source s CROSS JOIN tot t
+    ),
+    admitted AS (
+      SELECT d.source, th.n_docs, th.admit_ppm,
+             CASE WHEN CAST(list_reduce(string_split('0' || substr(md5(d.text), 1, 15), ''),
+                              (acc, c) -> CAST(acc AS BIGINT) * 16
+                                          + strpos('0123456789abcdef', c) - 1)
+                       AS BIGINT) % 1000000 < th.admit_ppm
+                  THEN 1 ELSE 0 END AS admit,
+             d.n_tokens
+      FROM toks d JOIN thresh th USING (source)
+    )
+    SELECT source, n_docs, admit_ppm,
+           CAST(SUM(admit) AS BIGINT) AS n_admitted,
+           CAST(SUM(admit * n_tokens) AS BIGINT) AS admitted_tokens
+    FROM admitted GROUP BY source, n_docs, admit_ppm
+    """,
+)
+def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E46: APPLY the E23 mixture weights — down-sample
+    over-represented sources toward the uniform token target by
+    deterministic content-hash thresholding: admit iff
+    neutral_hash(text) % 1e6 < admit_ppm, where admit_ppm =
+    (1e6 * corpus_tokens) div (n_sources * src_tokens) is computed in
+    PURE int64 arithmetic (no float weight ever materializes).
+    Content-keyed admission is reproducible across runs/partitionings
+    and keeps exact dups together, like E41.  Shape: one corpus agg,
+    O(sources) threshold table broadcast back, one final per-source
+    agg."""
+    from ..operators.dedup import neutral_word_hash
+
+    docs = io.table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", TXo.token_count_col()
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("total_tokens").cast("long").alias("corpus_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    thresh = (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(1000000 * corpus_tokens) div (n_sources * total_tokens)").alias(
+                "admit_ppm"
+            ),
+        )
+    )
+    admit = (neutral_word_hash(F.col("text")) % 1_000_000 < F.col("admit_ppm")).cast(
+        "long"
+    )
+    return (
+        docs.join(F.broadcast(thresh), "source")
+        .select("source", "n_docs", "admit_ppm", admit.alias("admit"), "n_tokens")
+        .groupBy("source", "n_docs", "admit_ppm")
+        .agg(
+            F.sum("admit").cast("long").alias("n_admitted"),
+            F.sum(F.col("admit") * F.col("n_tokens")).cast("long").alias(
+                "admitted_tokens"
+            ),
+        )
+    )
