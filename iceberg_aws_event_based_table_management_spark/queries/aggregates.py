@@ -460,3 +460,61 @@ def anomaly_commit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_commits",
         (dev * dev > 4 * var_n2).alias("is_anomaly"),
     )
+
+
+@register(
+    "rollup_hypertable_cascade",
+    tier="C",
+    oracle=f"""
+    WITH snapshots AS ({io.SNAPSHOTS_CTE}),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, COUNT(*) AS n_events
+      FROM snapshots GROUP BY 1
+    ),
+    daily AS (
+      SELECT date_trunc('day', bucket_start) AS bucket_start,
+             CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM hourly GROUP BY 1
+    ),
+    weekly AS (
+      SELECT date_trunc('week', bucket_start) AS bucket_start,
+             CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS resolution, bucket_start, CAST(n_events AS BIGINT) AS n_events FROM hourly
+    UNION ALL
+    SELECT 'day', bucket_start, n_events FROM daily
+    UNION ALL
+    SELECT 'week', bucket_start, n_events FROM weekly
+    """,
+)
+def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E47: hypertable-style multi-resolution rollup (continuous-
+    aggregate shape): hour/day/week event counts in one result.  The
+    CASCADE is the point — daily aggregates the HOURLY output and
+    weekly the daily, so the raw event table is scanned exactly once;
+    the naive form scans it three times.  Counts cascade exactly
+    (sums compose); non-decomposable stats (distinct) would pin to the
+    finest level or use mergeable sketches.  date_trunc('week') is
+    ISO-Monday in both engines."""
+    snaps = io.snapshots(spark, sf_dir)
+    hourly = (
+        snaps.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start"))
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+    weekly = (
+        daily.groupBy(F.date_trunc("week", "bucket_start").alias("bucket_start"))
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+    )
+    tag = lambda df, r: df.select(  # noqa: E731
+        F.lit(r).alias("resolution"),
+        "bucket_start",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    return tag(hourly, "hour").unionByName(tag(daily, "day")).unionByName(
+        tag(weekly, "week")
+    )
