@@ -46,6 +46,7 @@ NESTED_LOOP_OK = {
     "similarity_knn_join",  # bounded query side, broadcast by contract
     "tfidf_top_terms",  # 1-row corpus-size relation (broadcast)
     "corpus_mixture_weights",  # 1-row corpus-totals relation (broadcast)
+    "corpus_mixture_apply",  # same 1-row corpus-totals relation (broadcast)
     "filter_scalar_subquery",  # scalar subquery joins a 1-row aggregate
     "join_range_events_windows",  # C14 non-equi join: small band side broadcast (test_range_join_broadcasts_band_side)
 }
