@@ -861,3 +861,34 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "audit_k_anonymity",
+    tier="E",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS k
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_bucket, k, k < 5 AS reidentification_risk
+    FROM cells
+    """,
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E48: k-anonymity audit — group sizes over the quasi-identifier
+    cell (lang, source, length bucket); cells with k < 5 are
+    re-identification risks that a release pipeline must suppress or
+    generalize.  Pairs with text_pii_redact: redaction removes direct
+    identifiers, this audits the quasi-identifiers that remain.  One
+    bounded-key agg; the bucket is map-side integer math."""
+    docs = io.table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("k"))
+        .select("lang", "source", "len_bucket", "k", (F.col("k") < 5).alias("reidentification_risk"))
+    )
