@@ -63,6 +63,7 @@ def load() -> None:
         "profile_table_stats",
         "audit_referential_integrity",
         "window_forward_fill",
+        "window_interpolate_linear",
     )
 
     _LOADED = True

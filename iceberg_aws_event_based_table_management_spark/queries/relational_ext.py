@@ -414,3 +414,93 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.last(v, ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@register(
+    "window_interpolate_linear",
+    tier="E",
+    oracle="""
+    WITH gappy AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE o_totalprice END AS v
+      FROM orders
+    ),
+    ctx AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, v,
+             last_value(v IGNORE NULLS) OVER wp AS v_prev,
+             last_value(CASE WHEN v IS NOT NULL
+                             THEN CAST(o_orderdate AS DATE) - DATE '1970-01-01' END
+                        IGNORE NULLS) OVER wp AS t_prev,
+             first_value(v IGNORE NULLS) OVER wf AS v_next,
+             first_value(CASE WHEN v IS NOT NULL
+                              THEN CAST(o_orderdate AS DATE) - DATE '1970-01-01' END
+                         IGNORE NULLS) OVER wf AS t_next
+      FROM gappy
+      WINDOW
+        wp AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey, o_orderkey, v,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v_prev IS NOT NULL AND v_next IS NOT NULL AND t_next <> t_prev
+               THEN v_prev + (CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') - t_prev AS DOUBLE)
+                              / (t_next - t_prev)) * (v_next - v_prev)
+             WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN v_prev
+             ELSE COALESCE(v_prev, v_next)
+           END, 6) AS v_interp
+    FROM ctx
+    """,
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E49: linear-interpolation repair (E43's companion): a null takes
+    the time-weighted blend of its nearest non-null neighbors; edges
+    fall back to the available side.  Two frames per row
+    (unbounded-preceding and unbounded-following), both streaming —
+    one window shuffle total, shared by all four context columns.
+    Determinism: the time axis is exact int DAYS since epoch
+    (unix_date — timezone-free, o_orderdate is date-granular, and
+    TIMESTAMP_NTZ must never pass through a session-timezone epoch
+    conversion); the blend is subtract / divide / multiply / add on
+    identical doubles — single correctly-rounded IEEE ops, ROUND 6 on
+    top."""
+    o = io.table(spark, sf_dir, "orders")
+    v = F.when(F.col("o_orderkey") % 7 == 3, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    t = F.unix_date(F.to_date("o_orderdate"))
+    base = (
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    wp = base.rowsBetween(Window.unboundedPreceding, -1)
+    wf = base.rowsBetween(1, Window.unboundedFollowing)
+    ctx = o.select(
+        "o_custkey",
+        "o_orderkey",
+        t.alias("t"),
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(wp).alias("v_prev"),
+        F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp).alias("t_prev"),
+        F.first(v, ignorenulls=True).over(wf).alias("v_next"),
+        F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wf).alias("t_next"),
+    )
+    blend = F.col("v_prev") + (
+        (F.col("t") - F.col("t_prev")).cast("double")
+        / (F.col("t_next") - F.col("t_prev"))
+    ) * (F.col("v_next") - F.col("v_prev"))
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("v_prev").isNotNull()
+            & F.col("v_next").isNotNull()
+            & (F.col("t_next") != F.col("t_prev")),
+            blend,
+        )
+        .when(F.col("v_prev").isNotNull() & F.col("v_next").isNotNull(), F.col("v_prev"))
+        .otherwise(F.coalesce(F.col("v_prev"), F.col("v_next")))
+    )
+    return ctx.select(
+        "o_custkey", "o_orderkey", "v", F.round(interp, 6).alias("v_interp")
+    )
