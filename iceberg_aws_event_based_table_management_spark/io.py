@@ -41,20 +41,51 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark rejects it unless
-        # nanosAsLong is set.  The conf is runtime-settable, and callers may
-        # hand us an externally built session (the evaluator runs inside the
-        # host's session, AwsTableManagementMetricsEvaluator.java:64-85), so
-        # set it here rather than relying on our own session factory.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet carries TIMESTAMP(NANOS).  Spark <= 4.0 rejects it
+        # unless nanosAsLong is set; Spark >= 4.1 ignores the (removed) conf
+        # and reads it natively as TIMESTAMP_NTZ truncated to micros.  Callers
+        # may hand us an externally built session (the evaluator runs inside
+        # the host's session, AwsTableManagementMetricsEvaluator.java:64-85),
+        # so set the legacy conf defensively and branch on what the read
+        # actually produced rather than assuming either behavior.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the footer, surfaced as long ns via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py).  Truncate
-        # to us exactly as DuckDB does.  Integer div — double division
-        # would lose precision at 2^63-scale nanos.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # Legacy long-ns surface: truncate to us exactly as DuckDB does.
+            # Integer div — double division would lose precision at
+            # 2^63-scale nanos.  Cast to NTZ so both read paths agree with
+            # the DuckDB oracle's naive micros timestamps.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif not ts_type.startswith("timestamp"):
+            raise TypeError(f"unexpected events.ts type {ts_type!r}")
     return df
+
+
+def epoch_ms(col) -> F.Column:
+    """NTZ-safe epoch milliseconds.
+
+    ``unix_millis()`` is strict about TIMESTAMP input in Spark >= 4.1
+    and rejects the TIMESTAMP_NTZ that events.ts now reads as.  The
+    cast interprets the wall clock in the session timezone — UTC both
+    in this engine's session factory and in the driver's session (the
+    datetime-suite oracle hash-matched under it) — which matches
+    DuckDB's naive epoch math.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
+def epoch_us(col) -> F.Column:
+    """NTZ-safe epoch microseconds (see epoch_ms)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config
+from ..io import epoch_ms
 
 
 def rank_lineage(snapshots: DataFrame) -> DataFrame:
@@ -85,7 +86,7 @@ def decide_optimize(
     agg = flagged.groupBy("table_name").agg(
         F.count(F.when(F.col("is_pending"), 1)).alias("n_pending"),
         F.max(
-            F.when(F.col("is_pending"), now_ms - F.unix_millis(F.col("ts")))
+            F.when(F.col("is_pending"), now_ms - epoch_ms("ts"))
         ).alias("max_age"),
     )
     n = F.coalesce(F.col("n_pending"), F.lit(0))

@@ -233,7 +233,7 @@ def window_lag_commit_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name",
         "snapshot_id",
         "ts",
-        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+        (io.epoch_ms("ts") - io.epoch_ms(F.lag("ts").over(w))).alias("gap_ms"),
         F.lead("snapshot_id").over(w).alias("next_snapshot_id"),
     )
 
@@ -394,7 +394,7 @@ def session_commit_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_sess = (
         prev.isNull()
-        | ((F.unix_millis(F.col("ts")) - F.unix_millis(prev)) > 86_400_000)
+        | ((io.epoch_ms("ts") - io.epoch_ms(prev)) > 86_400_000)
     ).cast("long")
     s = snaps.withColumn(
         "session_id",
@@ -405,7 +405,7 @@ def session_commit_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         (
-            F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))
+            io.epoch_ms(F.max("ts")) - io.epoch_ms(F.min("ts"))
         ).alias("duration_ms"),
     )
 

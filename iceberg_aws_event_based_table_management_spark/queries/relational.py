@@ -353,7 +353,7 @@ def join_self_snapshot_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur.table_name").alias("table_name"),
         F.col("cur.snapshot_id").alias("snapshot_id"),
         F.col("prev.snapshot_id").alias("prev_snapshot_id"),
-        (F.unix_millis(F.col("cur.ts")) - F.unix_millis(F.col("prev.ts"))).alias("gap_ms"),
+        (io.epoch_ms(F.col("cur.ts")) - io.epoch_ms(F.col("prev.ts"))).alias("gap_ms"),
     )
 
 

@@ -138,7 +138,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        F.unix_micros("ts").alias("ts_us"),
+        io.epoch_us("ts").alias("ts_us"),
     )
     w = (
         Window.partitionBy("user_id")
