@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -61,6 +62,30 @@ def replay_dir(spark: SparkSession, sf_dir: str, workdir: str, n_chunks: int = 8
     return out
 
 
+REPLAY_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def replay_shuffle_scope(spark: SparkSession, n: int = REPLAY_SHUFFLE_PARTITIONS):
+    """Bound the stateful-shuffle width while a replay query runs.
+
+    A streaming query pins its state-partition count to
+    ``spark.sql.shuffle.partitions`` at start; the bounded replays
+    here process a handful of micro-batches over a few hundred keys,
+    so the session-wide 32 means 32 state-store commits + Python
+    worker rounds *per micro-batch* of near-empty partitions (51s ->
+    8s at sf0.01 for the applyInPandasWithState trigger).  Production
+    unbounded streams size this to the cluster instead — the scope
+    restores the caller's setting on exit.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def read_stream(spark: SparkSession, replay_path: str, files_per_trigger: int = 1) -> DataFrame:
     # fresh copy — StructType.add mutates in place, which would pollute
     # the shared EVENT_SCHEMA across calls
@@ -84,14 +109,15 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     pass output_mode="append".
     """
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_shuffle_scope(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -288,14 +314,15 @@ def run_stateful_trigger(
         )
         snaps.write.mode("append").parquet(state_path)
 
-    q = (
-        read_stream(spark, replay_path, files_per_trigger)
-        .writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_shuffle_scope(spark):
+        q = (
+            read_stream(spark, replay_path, files_per_trigger)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return trigger.decide_optimize(spark.read.parquet(state_path), now=now)
 
 
@@ -348,12 +375,13 @@ def run_merge_upsert_stream(
             )
         state["df"] = merged.localCheckpoint(eager=True)
 
-    q = (
-        read_stream(spark, replay_path, files_per_trigger)
-        .writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", os.path.join(ckpt_dir, "merge_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_shuffle_scope(spark):
+        q = (
+            read_stream(spark, replay_path, files_per_trigger)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", os.path.join(ckpt_dir, "merge_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return state["df"]
