@@ -32,6 +32,7 @@ def load() -> None:
         udfs,
         streaming_batch,
         pipeline_ext,
+        pipeline_ext2,
         aggregates,
         composite,
         control_plane,
@@ -131,6 +132,13 @@ def load() -> None:
         "audit_referential_integrity",
         "window_forward_fill",
         "window_interpolate_linear",
+        # round-4 additions (E50-E55), never graded
+        "text_boilerplate_ngrams",
+        "vocab_pair_merge_counts",
+        "seqlen_bucket_padding",
+        "kmeans_assign_step",
+        "bloom_membership_audit",
+        "wap_publish_gate",
     ]
     ordered = window_r4 + round5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]
