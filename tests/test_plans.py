@@ -268,3 +268,27 @@ def test_pipeline_ext_plan_shapes(spark, sf_dir, qmap):
     # stratified sample: per-stratum windows — no global range partition
     plan = _plan(qmap["sample_stratified_by_lang"](spark, sf_dir))
     assert "rangepartitioning" not in plan.lower() or "lang" in plan
+
+
+def test_pipeline_ext2_plan_shapes(spark, sf_dir, qmap):
+    """E50-E55 at 100 TB: centroids/bit-sets broadcast, argmin stays a
+    partial agg, no op goes cartesian on the corpus side."""
+    # k-means: the k-row centroid side broadcasts (explicit hint) and
+    # the per-vector argmin is an aggregate, not a window sort
+    plan = _plan(qmap["kmeans_assign_step"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # bloom: the bounded bit set broadcasts into the probe side
+    plan = _plan(qmap["bloom_membership_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # pair counts: top-k behind a total order, no global sort
+    plan = _plan(qmap["vocab_pair_merge_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # bucketing: single aggregation, no join anywhere
+    plan = _plan(qmap["seqlen_bucket_padding"](spark, sf_dir))
+    assert "Join" not in plan
+    # boilerplate: doc-frequency join stays on the shingle key — the
+    # document text never reaches the shingle-join scan output
+    plan = _plan(qmap["text_boilerplate_ngrams"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
