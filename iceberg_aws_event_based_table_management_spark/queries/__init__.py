@@ -132,13 +132,17 @@ def load() -> None:
         "audit_referential_integrity",
         "window_forward_fill",
         "window_interpolate_linear",
-        # round-4 additions (E50-E55), never graded
+        # round-4 additions (E50-E59), never graded
         "text_boilerplate_ngrams",
         "vocab_pair_merge_counts",
         "seqlen_bucket_padding",
         "kmeans_assign_step",
         "bloom_membership_audit",
         "wap_publish_gate",
+        "sample_quality_deciles",
+        "corpus_term_drift",
+        "route_quarantine",
+        "dedup_token_savings",
     ]
     ordered = window_r4 + round5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]

@@ -499,15 +499,23 @@ def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO-Monday in both engines."""
     snaps = io.snapshots(spark, sf_dir)
     hourly = (
-        snaps.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        snaps.groupBy(
+            # date_trunc yields LTZ even for NTZ input; keep the
+            # cascade's bucket axis NTZ like the event time it buckets
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket_start")
+        )
         .agg(F.count("*").alias("n_events"))
     )
     daily = (
-        hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start"))
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_start").cast("timestamp_ntz").alias("bucket_start")
+        )
         .agg(F.sum("n_events").cast("long").alias("n_events"))
     )
     weekly = (
-        daily.groupBy(F.date_trunc("week", "bucket_start").alias("bucket_start"))
+        daily.groupBy(
+            F.date_trunc("week", "bucket_start").cast("timestamp_ntz").alias("bucket_start")
+        )
         .agg(F.sum("n_events").cast("long").alias("n_events"))
     )
     tag = lambda df, r: df.select(  # noqa: E731

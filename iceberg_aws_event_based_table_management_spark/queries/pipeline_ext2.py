@@ -1,14 +1,16 @@
 """Tier D (part 3) — training-data-pipeline extensions (SURVEY.md
-SS2-E E50-E55).
+SS2-E E50-E59).
 
 Second batch of LLM-corpus operators beyond E18-E49: corpus-frequency
 boilerplate detection, BPE merge-candidate counting, sequence-length
 bucketing for batch assembly, a deterministic k-means iteration over
 embeddings, Bloom-filter membership pre-screening with exact
-false-positive accounting, and a write-audit-publish promotion gate
+false-positive accounting, a write-audit-publish promotion gate
 (the Iceberg WAP pattern applied to a corpus registry — the data-path
 completion of the reference's snapshot lifecycle,
-AwsTableManagementMetricsEvaluator.java:74-105).
+AwsTableManagementMetricsEvaluator.java:74-105), quality-decile
+resampling, term-level corpus drift, ingest quarantine routing, and
+dedup ROI accounting.
 
 All built-in-function formulations (no Python UDFs); every query
 carries an exact DuckDB oracle.  Engine-neutral hashing reuses
@@ -25,6 +27,7 @@ from pyspark.sql import functions as F
 from .. import io
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators import text as TXo
 from ..registry import register
 
 # DuckDB mirror of operators/dedup.neutral_word_hash(col): first 15 md5
@@ -566,3 +569,291 @@ def wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("passed").alias("passed"),
     ).select("audit", "metric", "passed")
     return audits.unionAll(publish)
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in TXo.STOPWORDS)
+
+# quality-score CTE — keep in lockstep with queries/text.py
+# text_quality_score (the driver-green formulation)
+_QUALITY_CTE = rf"""
+  qbase AS (
+    SELECT doc_id, lang, source, text,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS n_words,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                w -> w IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop
+    FROM documents
+  ),
+  quality AS (
+    SELECT doc_id, lang, source, text,
+           0.4 * least(n_words / 100.0, 1.0)
+           + 0.4 * least(n_stop / greatest(n_words, 1.0) * 4, 1.0)
+           + 0.2 * (1 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0))
+             AS q
+    FROM qbase
+  )
+"""
+
+
+@register(
+    "sample_quality_deciles",
+    tier="D",
+    oracle=f"""
+    WITH
+    {_QUALITY_CTE},
+    ranked AS (
+      SELECT doc_id, lang, source, text, q,
+             NTILE(10) OVER (PARTITION BY lang ORDER BY q, doc_id) AS decile
+      FROM quality
+    ),
+    admitted AS (
+      SELECT lang, decile,
+             CASE WHEN {_NEUTRAL_HASH.format(col="text")} % 1000000
+                       < decile * 100000
+                  THEN 1 ELSE 0 END AS admit
+      FROM ranked
+    )
+    SELECT lang, decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(admit) AS BIGINT) AS n_admitted
+    FROM admitted GROUP BY lang, decile
+    """,
+)
+def sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E56: quality-decile resampling — the perplexity-bucket sampling
+    idiom: rank docs into per-language quality deciles, then admit
+    decile d at d*10% (keep most of the best, a thin slice of the
+    worst — preserving some low-quality data is the standard recipe
+    against distribution collapse).  Admission is deterministic
+    content-hash thresholding (E41/E46 pattern): re-runs and
+    repartitions never change the sample.
+
+    Scale shape: the decile rank is a per-language window (bounded
+    stratum count, same shape as the driver-green stratified sampler);
+    at 100 TB the rank is replaced by broadcast approx-quantile
+    cutoffs — the admission and accounting stages are unchanged.  One
+    window shuffle on lang + one bounded agg."""
+    # un-rounded quality score (the green text_quality_score rounds
+    # only at output; the decile rank needs the raw double)
+    _, len_s, stop_s, punct_p = TXo._quality_parts()
+    qexpr = 0.4 * len_s + 0.4 * stop_s + 0.2 * (1 - punct_p)
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    ranked = (
+        io.table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text", qexpr.alias("q"))
+        .withColumn("decile", F.ntile(10).over(w))
+    )
+    admit = (
+        D.neutral_word_hash(F.col("text")) % 1_000_000
+        < F.col("decile") * 100_000
+    ).cast("long")
+    return (
+        ranked.select("lang", "decile", admit.alias("admit"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("admit").cast("long").alias("n_admitted"),
+        )
+    )
+
+
+_DRIFT_TOP = 20
+
+
+@register(
+    "corpus_term_drift",
+    tier="D",
+    oracle=rf"""
+    WITH words_s AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS word
+      FROM documents
+    ),
+    words_b AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                w -> w <> '')) AS word
+      FROM documents WHERE doc_id % 10 < 8
+    ),
+    cs AS (SELECT word, COUNT(*) AS n_staged FROM words_s GROUP BY word),
+    cb AS (SELECT word, COUNT(*) AS n_base FROM words_b GROUP BY word),
+    tot AS (
+      SELECT (SELECT CAST(SUM(n_staged) AS BIGINT) FROM cs) AS ts,
+             (SELECT CAST(SUM(n_base) AS BIGINT) FROM cb) AS tb
+    ),
+    joined AS (
+      SELECT COALESCE(cs.word, cb.word) AS word,
+             COALESCE(cs.n_staged, 0) AS n_staged,
+             COALESCE(cb.n_base, 0) AS n_base
+      FROM cs FULL OUTER JOIN cb ON cs.word = cb.word
+    )
+    SELECT word,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_staged AS BIGINT) AS n_staged,
+           ROUND(ABS(CAST(n_staged AS DOUBLE) / t.ts
+                     - CAST(n_base AS DOUBLE) / t.tb), 6) AS drift
+    FROM joined CROSS JOIN tot t
+    ORDER BY drift DESC, word LIMIT {_DRIFT_TOP}
+    """,
+)
+def corpus_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E57: term-level distribution drift between the base corpus
+    (doc_id%10<8) and the staged version — the fine-grained companion
+    of the WAP gate's coarse language-shift audit: the top-20 terms by
+    absolute unigram-share change, the observability signal that
+    catches a scraper regression or a new spam source before
+    publishing.
+
+    Scale shape: two word aggs shuffle on the word key and full-outer
+    join on the SAME key (one exchange reused); the two scalar totals
+    broadcast; top-k sits behind a total order.  No corpus text ever
+    moves — only (word, count) pairs."""
+    def words(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        ).filter(F.col("word") != "")
+
+    docs = io.table(spark, sf_dir, "documents")
+    cs = words(docs).groupBy("word").agg(F.count("*").alias("n_staged"))
+    cb = words(docs.filter(F.col("doc_id") % 10 < 8)).groupBy("word").agg(
+        F.count("*").alias("n_base")
+    )
+    tot = cs.agg(F.sum("n_staged").cast("long").alias("ts")).crossJoin(
+        cb.agg(F.sum("n_base").cast("long").alias("tb"))
+    )
+    joined = (
+        cs.join(cb, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("n_staged", F.lit(0)).alias("n_staged"),
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.select(
+            "word",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_staged").cast("long").alias("n_staged"),
+            F.round(
+                F.abs(
+                    F.col("n_staged") / F.col("ts") - F.col("n_base") / F.col("tb")
+                ),
+                6,
+            ).alias("drift"),
+        )
+        .orderBy(F.desc("drift"), F.asc("word"))
+        .limit(_DRIFT_TOP)
+    )
+
+
+@register(
+    "route_quarantine",
+    tier="D",
+    oracle=rf"""
+    WITH
+    {_QUALITY_CTE},
+    feats AS (
+      SELECT source, q,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+             len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}')) AS n_pii
+      FROM quality
+    ),
+    routed AS (
+      SELECT source,
+             CASE WHEN q < 0.3 OR n_tokens < 5 THEN 'reject'
+                  WHEN n_pii > 0 THEN 'review'
+                  ELSE 'accept' END AS verdict,
+             n_tokens
+      FROM feats
+    )
+    SELECT source, verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM routed GROUP BY source, verdict
+    """,
+)
+def route_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E58: ingest routing / dead-letter quarantine — every incoming
+    doc is routed accept / review (PII present -> human or scrubber
+    queue) / reject (degenerate quality or too short), with per-source
+    routing counts: the triage report an ingest pipeline emits per
+    batch.  Composes the driver-green quality score (gate), the E13
+    PII detector (review trigger), and the token counter (floor).
+
+    Scale shape: every signal is a map-side expression on the text
+    column; one agg on (source, verdict) — bounded keys, partial
+    combine; no joins, no window."""
+    docs = io.table(spark, sf_dir, "documents")
+    # un-rounded quality score, same as sample_quality_deciles
+    _, len_s, stop_s, punct_p = TXo._quality_parts()
+    q = 0.4 * len_s + 0.4 * stop_s + 0.2 * (1 - punct_p)
+    n_tokens = TXo.token_count_col()
+    n_pii = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"), F.lit(0)
+        )
+    )
+    verdict = (
+        F.when((q < 0.3) | (n_tokens < 5), "reject")
+        .when(n_pii > 0, "review")
+        .otherwise("accept")
+    )
+    return (
+        docs.select("source", verdict.alias("verdict"), n_tokens.alias("n_tokens"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "dedup_token_savings",
+    tier="D",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source, md5(text) AS h,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+      FROM toks
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_saved,
+           ROUND(CAST(SUM(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
+                 / SUM(n_tokens), 6) AS savings_frac
+    FROM ranked GROUP BY source
+    """,
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E59: dedup ROI accounting — per source, the documents and
+    tokens that exact dedup (D1's min-doc_id survivor rule) removes:
+    the metric that justifies (or kills) a dedup stage's compute
+    budget, and the per-source dup-rate monitor fed back to crawl
+    scheduling.
+
+    Scale shape: the same single window shuffle on content hash as
+    the D1 dedup itself (rank per hash partition), then one bounded
+    agg on source — dedup and its accounting share one plan."""
+    w = Window.partitionBy("h").orderBy("doc_id")
+    toks = io.table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h"), TXo.token_count_col().alias("n_tokens")
+    )
+    ranked = toks.withColumn("rk", F.row_number().over(w))
+    dropped = (F.col("rk") > 1).cast("long")
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(dropped * F.col("n_tokens")).cast("long").alias("tokens_saved"),
+        F.round(
+            F.sum(dropped * F.col("n_tokens")) / F.sum("n_tokens"), 6
+        ).alias("savings_frac"),
+    )

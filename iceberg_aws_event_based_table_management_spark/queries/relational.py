@@ -300,7 +300,11 @@ def join_asof_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.table(spark, sf_dir, "events")
     points = ev.select(
         "user_id",
-        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias("as_of"),
+        # date_trunc yields LTZ even for NTZ input; cast back so the
+        # as-of axis matches the NTZ event time (and the naive oracle)
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY"))
+        .cast("timestamp_ntz")
+        .alias("as_of"),
     ).distinct()
     e = ev.select("user_id", "ts", "event_id")
     latest = (

@@ -27,7 +27,11 @@ from .. import io
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        # NTZ keeps the replay identical to io.table's batch surface
+        # (and to the DuckDB oracle's naive timestamps): an LTZ schema
+        # here would re-interpret the stored micros as instants and
+        # emit tz-aware Arrow timestamps downstream.
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -159,18 +163,32 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 def watermarked_tumbling(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """C43: watermark + tumbling window — late rows beyond the watermark
     are dropped; with the time-ordered replay nothing is late, so the
-    result equals tumbling_counts (asserted in tests)."""
+    result equals tumbling_counts (asserted in tests).
+
+    Event-time watermarks require TIMESTAMP (Spark rejects NTZ event
+    time), so ts crosses to LTZ for the watermarked agg and the window
+    start crosses back — identity round-trips under the UTC session."""
     return (
-        events.withWatermark("ts", watermark)
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "n_events")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"), "n_events"
+        )
     )
 
 
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """C45: exactly-once by event_id within the watermark horizon."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """C45: exactly-once by event_id within the watermark horizon.
+    Same LTZ crossing as watermarked_tumbling (watermarks reject NTZ);
+    the emitted rows carry ts back as NTZ."""
+    deduped = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+    )
+    return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 # --- C44: the trigger evaluator as an incremental stream ------------------
