@@ -1,0 +1,47 @@
+"""IO-layer contract: the invariants that broke under the driver's
+session in rounds 1-3 (TIMESTAMP(NANOS) surfacing differently across
+Spark versions/sessions), locked as tests."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from iceberg_aws_event_based_table_management_spark import io
+
+
+def test_events_ts_is_always_ntz(spark, sf_dir):
+    """io.table normalizes events.ts to TIMESTAMP_NTZ regardless of
+    how the session surfaces the parquet TIMESTAMP(NANOS) column —
+    the naive type matches the DuckDB oracle's timestamps."""
+    df = io.table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    # values are micros-truncated nanos as naive wall clock
+    first = df.orderBy("event_id").select("ts").first().ts
+    assert isinstance(first, datetime.datetime)
+    assert first.tzinfo is None
+
+
+def test_epoch_helpers_accept_ntz(spark, sf_dir):
+    """unix_millis/unix_micros reject NTZ in Spark >= 4.1; the io
+    helpers must keep working on the NTZ surface and agree with each
+    other at 1000x."""
+    df = io.table(spark, sf_dir, "events").select(
+        io.epoch_ms("ts").alias("ms"), io.epoch_us("ts").alias("us")
+    )
+    row = df.agg(
+        F.count(F.when(F.col("us") - F.col("ms") * 1000 >= 1000, 1)).alias("bad"),
+        F.count("*").alias("n"),
+    ).first()
+    assert row.n > 0 and row.bad == 0
+
+
+def test_snapshots_projection_matches_cte_columns(spark, sf_dir):
+    """The Spark snapshots() projection and its oracle CTE must stay
+    in lockstep on column names (the driver sorts columns by name
+    before hashing)."""
+    cols = set(io.snapshots(spark, sf_dir).columns)
+    for c in cols:
+        assert c in io.SNAPSHOTS_CTE, f"column {c} missing from SNAPSHOTS_CTE"
+    assert cols == {"table_name", "snapshot_id", "ts", "operation"}

@@ -49,6 +49,9 @@ NESTED_LOOP_OK = {
     "corpus_mixture_apply",  # same 1-row corpus-totals relation (broadcast)
     "filter_scalar_subquery",  # scalar subquery joins a 1-row aggregate
     "join_range_events_windows",  # C14 non-equi join: small band side broadcast (test_range_join_broadcasts_band_side)
+    "kmeans_assign_step",  # E53: k-row centroid relation broadcast by hint
+    "wap_publish_gate",  # E55: 1-row count aggregates broadcast
+    "corpus_term_drift",  # E57: 1-row share-totals relation broadcast
 }
 
 # Global Sort without a following limit: legitimate only when the sort

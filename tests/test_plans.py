@@ -292,3 +292,22 @@ def test_pipeline_ext2_plan_shapes(spark, sf_dir, qmap):
     # document text never reaches the shingle-join scan output
     plan = _plan(qmap["text_boilerplate_ngrams"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_ext2_more_plan_shapes(spark, sf_dir, qmap):
+    """E56-E59: routing and drift stay join-light; dedup accounting
+    reuses the dedup window shape; no cartesian anywhere."""
+    # quarantine routing: map-side signals + one bounded agg, no join
+    plan = _plan(qmap["route_quarantine"](spark, sf_dir))
+    assert "Join" not in plan
+    # term drift: word-key join only, totals broadcast, top-k ordered
+    plan = _plan(qmap["corpus_term_drift"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # dedup savings: a window over the content hash, no self-join
+    plan = _plan(qmap["dedup_token_savings"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") == 1, "documents scanned more than once"
+    # decile sampling: per-lang window, no global range partition
+    plan = _plan(qmap["sample_quality_deciles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
