@@ -143,6 +143,8 @@ def load() -> None:
         "corpus_term_drift",
         "route_quarantine",
         "dedup_token_savings",
+        "compaction_benefit_estimate",
+        "snapshot_retention_policies",
     ]
     ordered = window_r4 + round5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]

@@ -168,3 +168,153 @@ def sort_compaction_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+@register(
+    "compaction_benefit_estimate",
+    tier="B",
+    oracle=f"""
+    WITH files AS ({io.FILES_CTE}),
+    per_file AS (
+      SELECT table_name, file_size_bytes,
+             CASE WHEN file_size_bytes < {TARGET} THEN 1 ELSE 0 END AS is_small
+      FROM files
+    )
+    SELECT table_name,
+           COUNT(*) AS n_files,
+           CAST(SUM(is_small) AS BIGINT) AS n_small_files,
+           CAST(SUM(is_small * file_size_bytes) AS BIGINT) AS small_bytes,
+           CAST(SUM(1 - is_small)
+                + CEIL(CAST(SUM(is_small * file_size_bytes) AS DOUBLE) / {TARGET})
+                AS BIGINT) AS est_files_after,
+           CAST(COUNT(*)
+                - SUM(1 - is_small)
+                - CEIL(CAST(SUM(is_small * file_size_bytes) AS DOUBLE) / {TARGET})
+                AS BIGINT) AS files_saved
+    FROM per_file GROUP BY table_name
+    """,
+)
+def compaction_benefit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E60: compaction benefit estimator — the decision metric in
+    front of the B1 planner: per table, how many files sit below the
+    target output size, how many files a binpack rewrite would leave
+    (small files repacked at target size; right-sized files
+    untouched), and the net file-count reduction.  This is the
+    'should we even schedule optimize-data' signal the reference's
+    commit/age thresholds approximate (AwsManageProperties.java:11-18)
+    — computed from the inventory instead of the commit log.
+
+    Scale shape: one agg over the file inventory (metadata, not data)
+    keyed by table — map-side combine, bounded keys, no joins."""
+    small = (F.col("file_size_bytes") < TARGET).cast("long")
+    est_after = F.sum(1 - small) + F.ceil(
+        F.sum(small * F.col("file_size_bytes")).cast("double") / TARGET
+    )
+    return (
+        io.files(spark, sf_dir)
+        .groupBy("table_name")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(small).cast("long").alias("n_small_files"),
+            F.sum(small * F.col("file_size_bytes")).cast("long").alias("small_bytes"),
+            est_after.cast("long").alias("est_files_after"),
+            (F.count("*") - est_after).cast("long").alias("files_saved"),
+        )
+    )
+
+
+_RETENTION_KEEP_LAST = 5
+_RETENTION_MAX_AGE_TS = "2024-01-21 00:00:00"  # NOW - 10 d over the fixture's range
+
+
+@register(
+    "snapshot_retention_policies",
+    tier="B",
+    oracle=f"""
+    WITH snaps AS ({io.SNAPSHOTS_CTE}),
+    ranked AS (
+      SELECT table_name, ts, operation,
+             ROW_NUMBER() OVER (PARTITION BY table_name
+                                ORDER BY ts DESC, snapshot_id DESC) AS rn,
+             MAX(CASE WHEN operation = 'purchase' THEN ts END)
+               OVER (PARTITION BY table_name) AS last_replace_ts
+      FROM snaps
+    ),
+    evaluated AS (
+      SELECT table_name,
+             CASE WHEN rn <= {_RETENTION_KEEP_LAST} THEN 1 ELSE 0 END AS keep_count,
+             CASE WHEN ts >= TIMESTAMP '{_RETENTION_MAX_AGE_TS}' THEN 1 ELSE 0 END AS keep_age,
+             CASE WHEN last_replace_ts IS NULL OR ts >= last_replace_ts
+                  THEN 1 ELSE 0 END AS keep_replace
+      FROM ranked
+    ),
+    per_policy AS (
+      SELECT table_name, 'keep_last_{_RETENTION_KEEP_LAST}' AS policy,
+             CAST(SUM(keep_count) AS BIGINT) AS n_keep,
+             CAST(SUM(1 - keep_count) AS BIGINT) AS n_expire
+      FROM evaluated GROUP BY table_name
+      UNION ALL
+      SELECT table_name, 'keep_max_age',
+             CAST(SUM(keep_age) AS BIGINT), CAST(SUM(1 - keep_age) AS BIGINT)
+      FROM evaluated GROUP BY table_name
+      UNION ALL
+      SELECT table_name, 'keep_since_replace',
+             CAST(SUM(keep_replace) AS BIGINT), CAST(SUM(1 - keep_replace) AS BIGINT)
+      FROM evaluated GROUP BY table_name
+    )
+    SELECT * FROM per_policy
+    """,
+)
+def snapshot_retention_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E61: snapshot retention policy simulation — before running E1's
+    expire, evaluate the three standard policies side by side per
+    table: keep the N newest, keep everything younger than the age
+    cutoff, keep everything since the last REPLACE (the optimize
+    watermark A7 stops at).  The ops report that picks expire
+    parameters instead of guessing them.
+
+    Scale shape: both windows and all three policy aggs share ONE
+    exchange on table_name over the metadata-sized snapshot log;
+    the three policy branches are a union of aggregations over the
+    same flagged projection (the log is scanned once per branch of a
+    union over an already-shuffled cached shape — bounded by the
+    metadata table, not the data)."""
+    w_rank = Window.partitionBy("table_name").orderBy(F.desc("ts"), F.desc("snapshot_id"))
+    w_tbl = Window.partitionBy("table_name")
+    flagged = io.snapshots(spark, sf_dir).select(
+        "table_name",
+        (F.row_number().over(w_rank) <= _RETENTION_KEEP_LAST)
+        .cast("long")
+        .alias("keep_count"),
+        (F.col("ts") >= F.lit(_RETENTION_MAX_AGE_TS).cast("timestamp_ntz"))
+        .cast("long")
+        .alias("keep_age"),
+        (
+            F.max(
+                F.when(F.col("operation") == config.REPLACE_OPERATION, F.col("ts"))
+            )
+            .over(w_tbl)
+            .isNull()
+            | (
+                F.col("ts")
+                >= F.max(
+                    F.when(F.col("operation") == config.REPLACE_OPERATION, F.col("ts"))
+                ).over(w_tbl)
+            )
+        )
+        .cast("long")
+        .alias("keep_replace"),
+    )
+
+    def policy(flag: str, name: str) -> DataFrame:
+        return flagged.groupBy("table_name").agg(
+            F.lit(name).alias("policy"),
+            F.sum(flag).cast("long").alias("n_keep"),
+            F.sum(1 - F.col(flag)).cast("long").alias("n_expire"),
+        ).select("table_name", "policy", "n_keep", "n_expire")
+
+    return (
+        policy("keep_count", f"keep_last_{_RETENTION_KEEP_LAST}")
+        .unionByName(policy("keep_age", "keep_max_age"))
+        .unionByName(policy("keep_replace", "keep_since_replace"))
+    )
