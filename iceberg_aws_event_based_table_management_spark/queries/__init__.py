@@ -145,6 +145,7 @@ def load() -> None:
         "dedup_token_savings",
         "compaction_benefit_estimate",
         "snapshot_retention_policies",
+        "quantile_histogram_sketch",
     ]
     ordered = window_r4 + round5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]

@@ -526,3 +526,128 @@ def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(hourly, "hour").unionByName(tag(daily, "day")).unionByName(
         tag(weekly, "week")
     )
+
+
+_QSK_WIDTH = 1000  # histogram bin width over FLOOR(l_extendedprice) dollars
+_QSK_QUANTILES = ((50, "p50"), (95, "p95"), (99, "p99"))
+
+
+@register(
+    "quantile_histogram_sketch",
+    tier="C",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS x FROM lineitem
+    ),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    hist AS (
+      SELECT x // {_QSK_WIDTH} AS bin, COUNT(*) AS bin_n FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, bin_n,
+             SUM(bin_n) OVER (ORDER BY bin) AS cum,
+             SUM(bin_n) OVER (ORDER BY bin) - bin_n AS cum_before
+      FROM hist
+    ),
+    vals AS (
+      SELECT x, COUNT(*) AS vn FROM v GROUP BY x
+    ),
+    vcum AS (
+      SELECT x, SUM(vn) OVER (ORDER BY x) AS vcum FROM vals
+    ),
+    q AS (
+      SELECT * FROM (VALUES {", ".join(f"({p}, '{lbl}')" for p, lbl in _QSK_QUANTILES)})
+             AS t(pct, quantile)
+    ),
+    targets AS (
+      SELECT q.quantile, (q.pct * n.n + 99) // 100 AS target
+      FROM q CROSS JOIN n
+    ),
+    est AS (
+      SELECT t.quantile, t.target,
+             MIN(c.bin * {_QSK_WIDTH}
+                 + ({_QSK_WIDTH} * (t.target - c.cum_before)) // c.bin_n) AS est_v
+      FROM targets t JOIN cum c ON c.cum >= t.target AND c.cum_before < t.target
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT t.quantile, MIN(vc.x) AS exact_v
+      FROM targets t JOIN vcum vc ON vc.vcum >= t.target
+      GROUP BY 1
+    )
+    SELECT e.quantile,
+           CAST(e.target AS BIGINT) AS target_rank,
+           CAST(e.est_v AS BIGINT) AS est_v,
+           CAST(x.exact_v AS BIGINT) AS exact_v,
+           ROUND(ABS(CAST(e.est_v AS DOUBLE) - x.exact_v) / x.exact_v, 6) AS rel_err
+    FROM est e JOIN exact x USING (quantile)
+    """,
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E62: mergeable histogram-sketch quantiles with an exact audit —
+    the 100 TB answer to 'exact percentiles need a global sort':
+    p50/p95/p99 of order value estimated from a fixed 1000-unit
+    histogram (one bounded agg; histograms MERGE across shards/time —
+    the t-digest role, but engine-exact), each next to the true value
+    at the same rank and the relative error.  All estimate arithmetic
+    is integer (bin interpolation via int division), so both engines
+    agree bit-for-bit; rank = ceil(q*n) computed as (q*n+99)//100 in
+    pure int64.
+
+    Scale shape: the sketch path is groupBy(bin) over ~120 keys +
+    a ~120-row cumulative window — metadata-sized after the first agg.
+    The exact path (value-level cumulative distribution) exists ONLY
+    as the audit anchor and is the thing the sketch replaces at scale
+    — the same split as agg_percentiles_exact vs approx_percentile."""
+    v = io.table(spark, sf_dir, "lineitem").select(
+        F.floor("l_extendedprice").cast("long").alias("x")
+    )
+    n = v.agg(F.count("*").alias("n"))
+    hist = v.groupBy((F.col("x") / _QSK_WIDTH).cast("long").alias("bin")).agg(
+        F.count("*").alias("bin_n")
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "bin",
+        "bin_n",
+        F.sum("bin_n").over(wb).alias("cum"),
+        (F.sum("bin_n").over(wb) - F.col("bin_n")).alias("cum_before"),
+    )
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vcum = (
+        v.groupBy("x")
+        .agg(F.count("*").alias("vn"))
+        .select("x", F.sum("vn").over(wx).alias("vcum"))
+    )
+    q = spark.createDataFrame(
+        [(p, lbl) for p, lbl in _QSK_QUANTILES], "pct long, quantile string"
+    )
+    targets = q.crossJoin(F.broadcast(n)).select(
+        "quantile", ((F.col("pct") * F.col("n") + 99) / 100).cast("long").alias("target")
+    )
+    est = (
+        F.broadcast(targets)
+        .join(cum, (F.col("cum") >= F.col("target")) & (F.col("cum_before") < F.col("target")))
+        .groupBy("quantile", "target")
+        .agg(
+            F.min(
+                F.col("bin") * _QSK_WIDTH
+                + (_QSK_WIDTH * (F.col("target") - F.col("cum_before")) / F.col("bin_n")).cast("long")
+            ).alias("est_v")
+        )
+    )
+    exact = (
+        F.broadcast(targets)
+        .join(vcum, F.col("vcum") >= F.col("target"))
+        .groupBy("quantile")
+        .agg(F.min("x").alias("exact_v"))
+    )
+    return est.join(exact, "quantile").select(
+        "quantile",
+        F.col("target").cast("long").alias("target_rank"),
+        F.col("est_v").cast("long").alias("est_v"),
+        F.col("exact_v").cast("long").alias("exact_v"),
+        F.round(
+            F.abs(F.col("est_v").cast("double") - F.col("exact_v")) / F.col("exact_v"), 6
+        ).alias("rel_err"),
+    )

@@ -52,6 +52,7 @@ NESTED_LOOP_OK = {
     "kmeans_assign_step",  # E53: k-row centroid relation broadcast by hint
     "wap_publish_gate",  # E55: 1-row count aggregates broadcast
     "corpus_term_drift",  # E57: 1-row share-totals relation broadcast
+    "quantile_histogram_sketch",  # E62: 3-row quantile-target relation broadcast into ~120-bin cumulative
 }
 
 # Global Sort without a following limit: legitimate only when the sort
@@ -62,6 +63,7 @@ GLOBAL_SORT_OK = {
     "sort_compaction_order",  # B2: sorted rewrite is the contract
     "sort_compaction_zorder",  # B2: z-ordered rewrite is the contract
     "shard_assignment_balanced",  # E21: ranks (n_chars, doc_id) metadata pairs
+    "quantile_histogram_sketch",  # E62: ~120-bin cumulative window (metadata-sized) + the exact-audit anchor the sketch replaces at scale
 }
 
 
