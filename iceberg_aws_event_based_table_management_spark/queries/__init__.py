@@ -132,7 +132,7 @@ def load() -> None:
         "audit_referential_integrity",
         "window_forward_fill",
         "window_interpolate_linear",
-        # round-4 additions (E50-E59), never graded
+        # round-4 additions (E50-E62), never graded
         "text_boilerplate_ngrams",
         "vocab_pair_merge_counts",
         "seqlen_bucket_padding",

@@ -63,3 +63,41 @@ def test_wap_gate_publish_is_conjunction(spark, sf_dir, qmap):
     audits = [v.passed for k, v in rows.items() if k != "publish"]
     assert rows["publish"].passed == all(audits)
     assert rows["publish"].metric is None
+
+
+def test_compaction_benefit_bounds(spark, sf_dir, qmap):
+    """The estimator can never promise more files than exist or a
+    negative saving; small files are a subset of all files."""
+    for r in qmap["compaction_benefit_estimate"](spark, sf_dir).collect():
+        assert 0 <= r.n_small_files <= r.n_files
+        assert 1 <= r.est_files_after <= r.n_files
+        assert r.files_saved == r.n_files - r.est_files_after >= 0
+
+
+def test_retention_policies_partition_the_log(spark, sf_dir, qmap):
+    """Every policy partitions the same per-table snapshot count, and
+    keep-last-N keeps exactly min(N, n)."""
+    rows = qmap["snapshot_retention_policies"](spark, sf_dir).collect()
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r.table_name, {})[r.policy] = (r.n_keep, r.n_expire)
+    for table, pols in by_table.items():
+        totals = {k + e for k, e in pols.values()}
+        assert len(totals) == 1, f"{table}: policies disagree on log size"
+        (n,) = totals
+        keep, _ = pols["keep_last_5"]
+        assert keep == min(5, n)
+
+
+def test_quantile_sketch_error_bounded_by_bin(spark, sf_dir, qmap):
+    """The histogram estimate can be off by at most one bin width, and
+    quantile estimates are monotone in q."""
+    from iceberg_aws_event_based_table_management_spark.queries.aggregates import (
+        _QSK_WIDTH,
+    )
+
+    rows = {r.quantile: r for r in qmap["quantile_histogram_sketch"](spark, sf_dir).collect()}
+    assert set(rows) == {"p50", "p95", "p99"}
+    for r in rows.values():
+        assert abs(r.est_v - r.exact_v) <= _QSK_WIDTH
+    assert rows["p50"].est_v <= rows["p95"].est_v <= rows["p99"].est_v
