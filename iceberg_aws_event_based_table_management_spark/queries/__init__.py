@@ -146,6 +146,7 @@ def load() -> None:
         "compaction_benefit_estimate",
         "snapshot_retention_policies",
         "quantile_histogram_sketch",
+        "dedup_incremental_neardup",
     ]
     ordered = window_r4 + round5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]

@@ -396,3 +396,137 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unchanged"))
     )
     return j.select("doc_id", status.alias("status"))
+
+
+# Cross-set incremental near-dup: batch ids are offset into disjoint
+# ranges so the single-corpus LSH/Jaccard machinery applies unchanged
+# and a pair is cross-set iff exactly one side is >= the offset.
+_INC_OFFSET = 1_000_000
+
+_INC_GRAMS = r"""
+  inc_base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 3
+  ),
+  inc_batch AS (
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 3
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz9' FROM documents WHERE doc_id % 10 = 1
+  ),
+  ws_b AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM inc_base
+  ),
+  ws_q AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM inc_batch
+  ),
+  grams_b AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+    FROM ws_b, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  ),
+  grams_q AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+    FROM ws_q, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  ),
+  gramsf_b AS (SELECT * FROM grams_b WHERE shingle <> ''),
+  gramsf_q AS (SELECT * FROM grams_q WHERE shingle <> '')
+"""
+
+
+@register(
+    "dedup_incremental_neardup",
+    tier="D",
+    oracle=f"""
+    WITH {_INC_GRAMS},
+    sz_b AS (SELECT doc_id, COUNT(*) AS n FROM gramsf_b GROUP BY doc_id),
+    sz_q AS (SELECT doc_id, COUNT(*) AS n FROM gramsf_q GROUP BY doc_id),
+    inter AS (
+      SELECT q.doc_id AS batch_doc_id, b.doc_id AS base_doc_id, COUNT(*) AS n_common
+      FROM gramsf_q q JOIN gramsf_b b ON q.shingle = b.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.batch_doc_id, i.base_doc_id,
+             CAST(i.n_common AS DOUBLE)
+               / (sq.n + sb.n - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sz_q sq ON i.batch_doc_id = sq.doc_id
+      JOIN sz_b sb ON i.base_doc_id = sb.doc_id
+      WHERE CAST(i.n_common AS DOUBLE) / (sq.n + sb.n - i.n_common) >= 0.5
+    ),
+    best AS (
+      SELECT batch_doc_id, base_doc_id, jaccard FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_doc_id
+                                     ORDER BY jaccard DESC, base_doc_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT q.doc_id AS batch_doc_id,
+           CASE WHEN b.base_doc_id IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
+           b.base_doc_id AS best_base_id,
+           ROUND(b.jaccard, 6) AS best_jaccard
+    FROM inc_batch q LEFT JOIN best b ON q.doc_id = b.batch_doc_id
+    """,
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E63: incremental NEAR-dup admission — E39's production shape
+    extended from exact hashes to near-duplicates: an incoming batch
+    (genuinely new docs + lightly edited re-ingests of corpus docs) is
+    screened against the existing corpus via LSH banding, and only
+    banded candidates get exact Jaccard verification; each batch doc
+    comes back 'near_dup' (with its best corpus match and score) or
+    'new'.  This is the crawl-refresh admission gate: the corpus
+    contributes its (re-usable, persistable) band index, and all
+    pairwise work is proportional to the batch's candidates.
+
+    Oracle exactness: same recall argument as dedup_near_verified —
+    with the fixed MinHash seeds the banded stage has 100% recall on
+    the fixture's cross-set near-dups (asserted in
+    tests/test_dedup_similarity.py), so the blocked composition equals
+    the exact cross-set Jaccard the oracle computes.
+
+    Scale shape: shingle/signature work is linear per side; the band
+    bucket join is the only candidate generator (never batch x corpus);
+    verification touches candidates only; the final best-match pick is
+    a per-batch-doc min(struct) agg."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 3)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 3)
+        .withColumn("doc_id", F.col("doc_id") + _INC_OFFSET)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 2 * _INC_OFFSET).alias("doc_id"),
+                F.concat("text", F.lit(" zz9")).alias("text"),
+            )
+        )
+    )
+    combined = base.unionByName(batch)
+    sh = D.shingles(combined, 3)
+    sig = D.minhash_signatures(sh, num_hashes=32)
+    cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+    pairs = D.jaccard_pairs(sh, block=cands, threshold=0.5)
+    # jaccard_pairs emits doc_id_a < doc_id_b; base ids < offset <=
+    # batch ids, so cross pairs are exactly (a=base, b=batch)
+    cross = pairs.filter(
+        (F.col("doc_id_a") < _INC_OFFSET) & (F.col("doc_id_b") >= _INC_OFFSET)
+    )
+    best = (
+        cross.groupBy("doc_id_b")
+        .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"), F.col("doc_id_a").alias("a"))).alias("m"))
+        .select(
+            F.col("doc_id_b").alias("batch_doc_id"),
+            F.col("m.a").alias("best_base_id"),
+            (-F.col("m.nj")).alias("best_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_doc_id"))
+        .join(best, "batch_doc_id", "left")
+        .select(
+            "batch_doc_id",
+            F.when(F.col("best_base_id").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+            "best_base_id",
+            F.round("best_jaccard", 6).alias("best_jaccard"),
+        )
+    )

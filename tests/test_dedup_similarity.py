@@ -245,3 +245,45 @@ def test_incremental_admit_reasons(spark):
     assert out[11]["reason"] == "new" and out[11]["admitted"]
     assert out[12]["reason"] == "dup_in_batch" and not out[12]["admitted"]
     assert out[13]["reason"] == "new" and out[13]["admitted"]
+
+
+def test_incremental_neardup_lsh_recall_is_total(spark, sf_dir):
+    """E63's oracle-exactness rests on the banded stage having 100%
+    recall on the fixture's cross-set near-dups: the blocked result
+    must contain every pair the UNBLOCKED exact cross-set Jaccard
+    finds (and nothing below the threshold)."""
+    import iceberg_aws_event_based_table_management_spark as engine
+    from iceberg_aws_event_based_table_management_spark import io
+    from iceberg_aws_event_based_table_management_spark.operators import dedup as DD
+    from iceberg_aws_event_based_table_management_spark.queries.dedup import _INC_OFFSET
+
+    from pyspark.sql import functions as F
+
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 3)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 3)
+        .withColumn("doc_id", F.col("doc_id") + _INC_OFFSET)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 2 * _INC_OFFSET).alias("doc_id"),
+                F.concat("text", F.lit(" zz9")).alias("text"),
+            )
+        )
+    )
+    sh = DD.shingles(base.unionByName(batch), 3)
+
+    def cross(pairs):
+        return {
+            (r.doc_id_a, r.doc_id_b)
+            for r in pairs.filter(
+                (F.col("doc_id_a") < _INC_OFFSET) & (F.col("doc_id_b") >= _INC_OFFSET)
+            ).collect()
+        }
+
+    exact = cross(DD.jaccard_pairs(sh, threshold=0.5))
+    sig = DD.minhash_signatures(sh, num_hashes=32)
+    blocked = cross(
+        DD.jaccard_pairs(sh, block=DD.lsh_candidate_pairs(sig, 8, 4), threshold=0.5)
+    )
+    assert blocked == exact and exact, "LSH blocking lost cross-set near-dup pairs"
