@@ -147,6 +147,7 @@ def load() -> None:
         "snapshot_retention_policies",
         "quantile_histogram_sketch",
         "dedup_incremental_neardup",
+        "stream_session_real",
     ]
     ordered = window_r4 + round5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]

@@ -90,6 +90,59 @@ def stream_session_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_real",
+    tier="C",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def stream_session_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42 (real streaming, SQL oracle): session windows computed by an
+    actual Structured Streaming run — session_window merge-state over
+    the file-replayed event stream, complete mode, memory sink.  In
+    complete mode the final emission reflects ALL input, and session
+    merging is order-insensitive once every event has arrived, so the
+    batch islands formulation is an exact oracle regardless of
+    micro-batch boundaries (sessions that straddle batches are merged
+    by the state store — the thing this query exercises over the batch
+    C42 form)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        agg = (
+            replay.read_stream(spark, path, 2)
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        out = replay.run_to_memory(agg, f"sess_real_{abs(hash(sf_dir)) % 10_000}")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "stream_dedup_event_ids",
     tier="C",
     oracle="""

@@ -23,6 +23,7 @@ import iceberg_aws_event_based_table_management_spark as engine
 # scratch files.  Both are excluded from a pure plan sweep.
 SKIP = {
     "stream_events_ingest",
+    "stream_session_real",
     "stream_watermark_latedrop",
     "stream_stateful_trigger",
     "stream_should_optimize",
