@@ -52,6 +52,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
+        # The always-NTZ ts contract and io.epoch_ms/epoch_us (which
+        # cast NTZ->LTZ before unix_millis) are only correct in a UTC
+        # session.  The package factory pins UTC, but the evaluator may
+        # run inside an externally built host session — pin it here too
+        # (runtime-settable SQL conf) rather than silently shifting
+        # every epoch-derived value.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes)["ts"]
@@ -63,7 +73,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
-        elif not ts_type.startswith("timestamp"):
+        elif ts_type.startswith("timestamp"):
+            # A host session with inferTimestampNTZ disabled surfaces the
+            # micros/isAdjustedToUTC=false fixture as plain LTZ timestamp;
+            # normalize unconditionally so EVERY read path honors the NTZ
+            # contract (no-op when the read already produced NTZ).  In the
+            # UTC session pinned above the wall-clock value is preserved.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        else:
             raise TypeError(f"unexpected events.ts type {ts_type!r}")
     return df
 

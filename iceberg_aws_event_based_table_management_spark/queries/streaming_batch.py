@@ -11,6 +11,7 @@ Structured Streaming inside the query callable.
 from __future__ import annotations
 
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -137,7 +138,7 @@ def stream_session_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        out = replay.run_to_memory(agg, f"sess_real_{abs(hash(sf_dir)) % 10_000}")
+        out = replay.run_to_memory(agg, f"sess_real_{uuid.uuid4().hex[:8]}")
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
 
@@ -188,7 +189,7 @@ def stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"))
         )
-        out = replay.run_to_memory(counts, f"ingest_{abs(hash(sf_dir)) % 10_000}")
+        out = replay.run_to_memory(counts, f"ingest_{uuid.uuid4().hex[:8]}")
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
 
@@ -216,7 +217,7 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = replay.replay_dir(spark, sf_dir, tmp)
         out = replay.run_to_memory(
             replay.watermarked_tumbling(replay.read_stream(spark, path, 2)),
-            f"wm_{abs(hash(sf_dir)) % 10_000}",
+            f"wm_{uuid.uuid4().hex[:8]}",
         )
         # materialize before the tempdir vanishes
         rows = out.collect()
@@ -244,7 +245,7 @@ def stream_stateful_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
             replay.read_stream(spark, path, 2), now=config.NOW_LITERAL
         )
         sink = replay.run_to_memory(
-            stream, f"stateful_trig_{abs(hash(sf_dir)) % 10_000}", output_mode="update"
+            stream, f"stateful_trig_{uuid.uuid4().hex[:8]}", output_mode="update"
         )
         w = Window.partitionBy("table_name").orderBy(F.desc("n_commits_seen"))
         final = (

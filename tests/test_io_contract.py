@@ -37,6 +37,24 @@ def test_epoch_helpers_accept_ntz(spark, sf_dir):
     assert row.n > 0 and row.bad == 0
 
 
+def test_events_ltz_surface_normalized_to_ntz(spark, sf_dir, tmp_path):
+    """A host session can surface the events timestamp as plain LTZ
+    'timestamp' (e.g. micros parquet with inferTimestampNTZ disabled).
+    io.table must normalize THAT path to NTZ too — the round-1-3
+    failure class was exactly a session-dependent ts surface leaking
+    through.  Simulate by rewriting events with an LTZ ts (written as
+    isAdjustedToUTC=true micros, which always reads back as LTZ)."""
+    ev = io.table(spark, sf_dir, "events")
+    ltz_dir = str(tmp_path / "ltz")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(f"{ltz_dir}/events.parquet")
+    df = io.table(spark, ltz_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    # UTC session: the wall-clock values survive the LTZ round-trip
+    orig = ev.orderBy("event_id").select("ts").first().ts
+    back = df.orderBy("event_id").select("ts").first().ts
+    assert back == orig
+
+
 def test_snapshots_projection_matches_cte_columns(spark, sf_dir):
     """The Spark snapshots() projection and its oracle CTE must stay
     in lockstep on column names (the driver sorts columns by name

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 import iceberg_aws_event_based_table_management_spark as engine
+from iceberg_aws_event_based_table_management_spark import io
 from iceberg_aws_event_based_table_management_spark.queries import pipeline_ext2 as P
 
 
@@ -19,7 +20,7 @@ def qmap():
 def test_bloom_has_no_false_negatives(spark, qmap):
     """The defining Bloom guarantee: a true member is never screened
     out — the (maybe_member=false, is_member=true) cell must be empty."""
-    rows = qmap["bloom_membership_audit"](spark, "/root/testdata/sf0.001").collect()
+    rows = qmap["bloom_membership_audit"](spark, io.SMOKE_SF_DIR).collect()
     fn = [r for r in rows if (not r.maybe_member) and r.is_member]
     assert fn == [], f"Bloom false negatives: {fn}"
 
