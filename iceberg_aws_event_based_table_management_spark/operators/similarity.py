@@ -58,7 +58,12 @@ def topk_bruteforce(embeddings: DataFrame, query_vec: list[float], k: int = 20) 
     return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
 
 
-def knn_join(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame:
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    max_broadcast_rows: int = 100_000,
+) -> DataFrame:
     """Batch kNN join: for every query vector, its exact top-k cosine
     neighbors among the candidates — the many-query generalization of
     topk_bruteforce (one retrieval pass serves a whole query table).
@@ -72,14 +77,26 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int = 3) -> DataFrame
     the local winners globally.  Local selection uses the same
     (sim desc, id asc) total order as the final rank, so the global
     top-k is always contained in the union of local top-ks, ties
-    included.  For query sets too big to broadcast, block both sides
-    with LSH (ann_topk_lsh) first.
+    included.
+
+    The broadcast contract is ENFORCED, not documentation: the query
+    side is counted first and a query table above `max_broadcast_rows`
+    raises instead of silently collecting gigabytes onto the driver.
+    For query sets too big to broadcast, block both sides with LSH
+    (ann_topk_lsh) first.
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
 
+    n_queries = queries.count()
+    if n_queries > max_broadcast_rows:
+        raise ValueError(
+            f"knn_join query side has {n_queries} rows, above the "
+            f"broadcast cap of {max_broadcast_rows}; use the LSH-blocked "
+            "path (ann_topk_lsh) or raise max_broadcast_rows explicitly"
+        )
     qpd = queries.select("vec_id", "embedding").toPandas()
     q_ids = qpd["vec_id"].to_numpy()
     qm = np.asarray([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])

@@ -287,3 +287,47 @@ def test_incremental_neardup_lsh_recall_is_total(spark, sf_dir):
         DD.jaccard_pairs(sh, block=DD.lsh_candidate_pairs(sig, 8, 4), threshold=0.5)
     )
     assert blocked == exact and exact, "LSH blocking lost cross-set near-dup pairs"
+
+
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    """The df_cap guard: a boilerplate shingle shared by many docs must
+    not produce pairs by itself (it would emit k^2 join rows at scale).
+    Docs here share ONLY the boilerplate line; with the cap active they
+    produce no pair, while a genuinely near-dup pair still scores."""
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"unique words {i} alpha beta gamma delta {boiler}") for i in range(8)]
+    rows += [(100, "the quick brown fox jumps over dogs"),
+             (101, "the quick brown fox jumps over cats")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingles(docs, 3)
+    pairs = {(r.doc_id_a, r.doc_id_b)
+             for r in D.jaccard_pairs(sh, threshold=0.3, df_cap=4).collect()}
+    assert (100, 101) in pairs, "near-dup pair lost by the cap"
+    assert all(a >= 100 for a, _ in pairs), f"boilerplate-only pairs leaked: {pairs}"
+
+
+def test_jaccard_df_cap_preserves_scores_below_cap(spark, docs):
+    """With the default cap (1000) the fixture result is bit-identical
+    to the uncapped computation — max fixture shingle df is 25."""
+    sh = D.shingles(docs, 3)
+    capped = {tuple(r) for r in D.jaccard_pairs(sh, threshold=0.5).collect()}
+    uncapped = {tuple(r) for r in D.jaccard_pairs(sh, threshold=0.5, df_cap=None).collect()}
+    assert capped == uncapped
+
+
+def test_shingles_no_shuffle_on_wide_input(spark, docs):
+    """The 100 TB contract: when the input already has parallel splits,
+    shingle extraction must not move corpus text (no Exchange in the
+    plan before the generator)."""
+    wide = docs.repartition(8)  # simulate a many-split corpus scan
+    plan = D.shingles(wide, 3)._jdf.queryExecution().executedPlan().toString()
+    # exactly the one Exchange we injected for the simulation
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_knn_join_enforces_broadcast_cap(spark, sf_dir):
+    """The query-side broadcast bound is a real assert, not a docstring:
+    an oversized query table raises with a pointer to the LSH path."""
+    emb = io.table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="broadcast cap"):
+        S.knn_join(emb, emb, k=2, max_broadcast_rows=10)

@@ -167,3 +167,41 @@ def test_zorder_sort_clusters_both_dimensions(spark, sf_dir):
     # far tighter on BOTH dimensions simultaneously
     assert spans["p"] < ranges["l_partkey"] * 0.5, spans
     assert spans["s"] < ranges["l_suppkey"] * 0.5, spans
+
+
+def test_cancel_while_running_poll_raises(spark, small_table):
+    """A20 cancel path: cancel a submitted job -> state CANCELLED ->
+    poll raises, mirroring Athena's CANCELLED branch
+    (AthenaOptimizeDataExecutor.java:138-140)."""
+    ex = jobs.load_executor("local-compaction")
+    ex.initialize(small_table, {})
+    ex.execute()
+    assert ex.cancel() == jobs.JobState.CANCELLED
+    with pytest.raises(RuntimeError, match="cancelled"):
+        ex.wait_for_completion(timeout_s=30)
+    # a late worker-thread completion must not resurrect the job
+    if ex._thread is not None:
+        ex._thread.join(timeout=120)
+    assert ex.state == jobs.JobState.CANCELLED
+
+
+def test_cancel_after_success_is_noop(spark, small_table):
+    ex = jobs.load_executor("local-compaction")
+    ex.initialize(small_table, {"optimize-data.synchronous-enabled": "true"})
+    ex.execute()
+    assert ex.state == jobs.JobState.SUCCEEDED
+    assert ex.cancel() == jobs.JobState.SUCCEEDED  # terminal states stick
+
+
+def test_backend_state_vocabularies_normalize():
+    """The four reference pollers' vocabularies map onto the one
+    canonical machine; unknown states raise."""
+    assert jobs.normalize_backend_state("athena", "QUEUED") == jobs.JobState.SUBMITTED
+    assert jobs.normalize_backend_state("emr-ec2", "PENDING") == jobs.JobState.SUBMITTED
+    assert jobs.normalize_backend_state("emr-eks", "CANCEL_PENDING") == jobs.JobState.RUNNING
+    assert jobs.normalize_backend_state("emr-serverless", "SCHEDULED") == jobs.JobState.SUBMITTED
+    assert jobs.normalize_backend_state("emr-serverless", "SUCCESS") == jobs.JobState.SUCCEEDED
+    for backend in jobs.BACKEND_STATES:
+        assert jobs.normalize_backend_state(backend, "CANCELLED") == jobs.JobState.CANCELLED
+    with pytest.raises(ValueError, match="unknown state"):
+        jobs.normalize_backend_state("athena", "SCHEDULED")
