@@ -261,6 +261,54 @@ class LocalCompactionExecutor:
         return self.state
 
 
+class CommitReporter:
+    """The `MetricsReporter` analog — the write-path hook that makes the
+    engine self-managing (AwsTableManagementMetricsEvaluator.java:36:
+    `implements MetricsReporter`, the reference's ONLY extension point
+    into the write path).
+
+    The reference's catalog invokes `report(CommitReport)` after every
+    commit (:64-85); here the engine's own writers call
+    `reported_append` (or `report` directly), so a table that merely
+    receives writes accumulates `_snapshots` rows and gets compacted
+    when the trigger fires — no manual event construction anywhere.
+
+    Semantics carried over:
+    - null guard (:66): a missing table_dir raises;
+    - commit-kind filter (:68): only write-path operations trigger
+      evaluation — scan/metadata events are dropped;
+    - recursion guard (:93-99): REPLACE commits (compaction's own
+      writes) never re-trigger, and reporter properties are stripped
+      from the spawned job's config by evaluate_and_maybe_optimize.
+    """
+
+    #: write-path commit kinds (DataOperations.APPEND/OVERWRITE/DELETE);
+    #: REPLACE is deliberately absent — see the recursion guard above.
+    TRIGGERING_OPERATIONS = frozenset({"append", "overwrite", "delete"})
+
+    def __init__(self, spark: SparkSession, properties: dict[str, str] | None = None) -> None:
+        self.spark = spark
+        self.properties = dict(properties or {})
+
+    def report(self, table_dir: str, operation: str) -> "LocalCompactionExecutor | None":
+        if not table_dir:
+            raise ValueError("report() requires a table_dir")  # Preconditions (:66)
+        if operation not in self.TRIGGERING_OPERATIONS:
+            return None
+        return evaluate_and_maybe_optimize(self.spark, table_dir, self.properties)
+
+    def reported_append(
+        self, df, table_dir: str, n_files: int = 1
+    ) -> "LocalCompactionExecutor | None":
+        """The reporting write path: append data files + an 'append'
+        snapshot row, then push the commit event through report() —
+        write and evaluation in one call, exactly the loop the
+        reference closes via the catalog callback."""
+        df.repartition(n_files).write.mode("append").parquet(os.path.join(table_dir, "data"))
+        maintenance.append_snapshot(self.spark, table_dir, "append")
+        return self.report(table_dir, "append")
+
+
 def evaluate_and_maybe_optimize(
     spark: SparkSession,
     table_dir: str,

@@ -205,3 +205,39 @@ def test_backend_state_vocabularies_normalize():
         assert jobs.normalize_backend_state(backend, "CANCELLED") == jobs.JobState.CANCELLED
     with pytest.raises(ValueError, match="unknown state"):
         jobs.normalize_backend_state("athena", "SCHEDULED")
+
+
+def test_commit_reporter_closes_the_loop(spark, sf_dir, tmp_path):
+    """The MetricsReporter analog end-to-end: a table that merely
+    receives writes gets compacted when the commit threshold fires —
+    no manual event construction
+    (AwsTableManagementMetricsEvaluator.java:36,64-85)."""
+    table_dir = str(tmp_path / "t_hooked")
+    chunk = io.table(spark, sf_dir, "lineitem").limit(200)
+    maintenance.write_table(spark, chunk, table_dir, n_files=2)  # commit 1
+    reporter = jobs.CommitReporter(
+        spark, {"optimize-data.synchronous-enabled": "true"}
+    )
+    fired = []
+    for i in range(config.COMMIT_THRESHOLD - 1):  # commits 2..10
+        ex = reporter.reported_append(chunk, table_dir, n_files=2)
+        fired.append(ex)
+    assert all(e is None for e in fired[:-1]), "trigger fired early"
+    ex = fired[-1]
+    assert ex is not None, "10th commit must fire the trigger"
+    assert ex.state == jobs.JobState.SUCCEEDED
+    assert ex.result.files_after < ex.result.files_before
+    snaps = maintenance.read_snapshots(spark, table_dir)
+    assert snaps.filter(F.col("operation") == "replace").count() >= 1
+    # the compaction REPLACE is the new watermark: next write is quiet
+    assert reporter.reported_append(chunk, table_dir, n_files=1) is None
+
+
+def test_commit_reporter_filters_non_write_events(spark, small_table):
+    """A2/A3 semantics on the hook: scan events and REPLACE commits
+    never trigger; a null table raises."""
+    reporter = jobs.CommitReporter(spark)
+    assert reporter.report(small_table, "replace") is None  # recursion guard
+    assert reporter.report(small_table, "scan") is None  # commit-kind filter
+    with pytest.raises(ValueError, match="table_dir"):
+        reporter.report("", "append")
