@@ -28,7 +28,10 @@ import iceberg_aws_event_based_table_management_spark as engine
 from iceberg_aws_event_based_table_management_spark.session import get_spark
 
 # Representative mix: control plane, relational heavy-hitters,
-# maintenance planning, dedup/similarity/text extensions.
+# maintenance planning, dedup/similarity/text extensions, plus the
+# round-5 window's heaviest pipeline compositions (connected-component
+# survivor resolution, incremental near-dup admission, TF-IDF,
+# boilerplate n-grams, histogram-sketch quantiles).
 HEADLINE = [
     "should_optimize_decision",
     "agg_pricing_summary",
@@ -48,6 +51,12 @@ HEADLINE = [
     "text_token_stats",
     "explode_unnest_tokens",
     "stream_tumbling_commits_per_hour",
+    # round-5 additions
+    "dedup_cluster_survivors",
+    "dedup_incremental_neardup",
+    "tfidf_top_terms",
+    "text_boilerplate_ngrams",
+    "quantile_histogram_sketch",
 ]
 
 

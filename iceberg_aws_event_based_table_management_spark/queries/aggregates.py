@@ -553,7 +553,7 @@ _QSK_QUANTILES = ((50, "p50"), (95, "p95"), (99, "p99"))
       SELECT x, COUNT(*) AS vn FROM v GROUP BY x
     ),
     vcum AS (
-      SELECT x, SUM(vn) OVER (ORDER BY x) AS vcum FROM vals
+      SELECT x, vn, SUM(vn) OVER (ORDER BY x) AS vcum FROM vals
     ),
     q AS (
       SELECT * FROM (VALUES {", ".join(f"({p}, '{lbl}')" for p, lbl in _QSK_QUANTILES)})
@@ -571,8 +571,11 @@ _QSK_QUANTILES = ((50, "p50"), (95, "p95"), (99, "p99"))
       GROUP BY 1, 2
     ),
     exact AS (
+      -- first-crossing condition: exactly ONE vcum row matches per
+      -- target (vcum is strictly increasing), instead of ~n*q rows
       SELECT t.quantile, MIN(vc.x) AS exact_v
-      FROM targets t JOIN vcum vc ON vc.vcum >= t.target
+      FROM targets t JOIN vcum vc
+        ON vc.vcum >= t.target AND vc.vcum - vc.vn < t.target
       GROUP BY 1
     )
     SELECT e.quantile,
@@ -617,7 +620,7 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vcum = (
         v.groupBy("x")
         .agg(F.count("*").alias("vn"))
-        .select("x", F.sum("vn").over(wx).alias("vcum"))
+        .select("x", "vn", F.sum("vn").over(wx).alias("vcum"))
     )
     q = spark.createDataFrame(
         [(p, lbl) for p, lbl in _QSK_QUANTILES], "pct long, quantile string"
@@ -636,9 +639,15 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_v")
         )
     )
+    # first-crossing bound: one matching row per target (vcum strictly
+    # increases), so the nested-loop join emits q rows, not ~n*q
     exact = (
         F.broadcast(targets)
-        .join(vcum, F.col("vcum") >= F.col("target"))
+        .join(
+            vcum,
+            (F.col("vcum") >= F.col("target"))
+            & (F.col("vcum") - F.col("vn") < F.col("target")),
+        )
         .groupBy("quantile")
         .agg(F.min("x").alias("exact_v"))
     )

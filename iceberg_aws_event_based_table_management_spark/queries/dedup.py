@@ -221,10 +221,14 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash seeds the LSH stage has 100% recall on the fixture corpus
     (every planted pair lands in a shared band bucket — also asserted
     in tests/test_dedup_similarity.py), making the blocked composition
-    equal the unblocked exact result."""
+    equal the unblocked exact result.
+
+    The shingle table feeds BOTH the signature path and the verify
+    path; localCheckpoint materializes the extraction once (executor-
+    local, no driver traffic — on a cluster this is persist())."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = D.shingles(docs, 3)
-    sig = D.minhash_signatures(sh, num_hashes=32)
+    sh = D.shingles(docs, 3).localCheckpoint(eager=False)
+    sig = D.minhash_signatures(sh, num_hashes=32).localCheckpoint(eager=False)
     cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
     verified = D.jaccard_pairs(sh, block=cands, threshold=0.5)
     return verified.select(
@@ -510,8 +514,10 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     combined = base.unionByName(batch)
-    sh = D.shingles(combined, 3)
-    sig = D.minhash_signatures(sh, num_hashes=32)
+    # sh feeds signatures AND verification; sig feeds the band join's
+    # two sides — materialize each once (executor-local)
+    sh = D.shingles(combined, 3).localCheckpoint(eager=False)
+    sig = D.minhash_signatures(sh, num_hashes=32).localCheckpoint(eager=False)
     cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
     pairs = D.jaccard_pairs(sh, block=cands, threshold=0.5)
     # jaccard_pairs emits doc_id_a < doc_id_b; base ids < offset <=
