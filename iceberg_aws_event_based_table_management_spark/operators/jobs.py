@@ -261,6 +261,99 @@ class LocalCompactionExecutor:
         return self.state
 
 
+def render_optimize_sql(
+    table_name: str, properties: dict[str, str], catalog: str = config.CATALOG_NAME
+) -> str:
+    """Driver-side A14/A15: the `CALL <cat>.system.rewrite_data_files`
+    command string the reference ships to every backend
+    (`buildSparkSqlOptimizeDataFilesCommand`, EMRSparkUtil.java:101-128;
+    options literal :136-162).  Option entries render sorted — the
+    reference's HashMap order is arbitrary, sorted is the deterministic
+    improvement the query-surface render (queries/control_plane.py
+    sql_command_render) also makes.  Defaults mirror
+    AwsManageProperties.java:48-56."""
+    opts = {
+        k[len(config.OPTIONS_PREFIX) :]: v
+        for k, v in properties.items()
+        if k.startswith(config.OPTIONS_PREFIX)
+    } or {
+        "max-file-group-size-bytes": str(config.MAX_FILE_GROUP_SIZE_BYTES),
+        "partial-progress.enabled": "true",
+    }
+    body = ",".join(f"'{k}','{v}'" for k, v in sorted(opts.items()))
+    parts = [f"table => '{table_name}'", f"options => map({body})"]
+    strategy = properties.get("optimize-data.strategy", config.STRATEGY_BINPACK)
+    parts.append(f"strategy => '{strategy}'")
+    sort_order = properties.get("optimize-data.sort-order")
+    if sort_order:
+        parts.append(f"sort_order => '{sort_order}'")
+    return f"CALL {catalog}.system.rewrite_data_files({', '.join(parts)})"
+
+
+@register_executor("iceberg-call")
+class IcebergCallExecutor:
+    """The real-Iceberg table-format seam, made concrete: renders the
+    same CALL every reference backend ships and submits it to the
+    session's OWN SQL engine — the in-process analog of the spark-sql
+    shell each EMR backend boots (EmrOnEc2OptimizeDataExecutor.java:88-94,
+    EMRSparkUtil.java:27).
+
+    Requires an Iceberg catalog on the session (iceberg-spark-runtime
+    on the classpath + `spark.sql.catalog.<name>` configured);
+    `initialize()` fails fast with an actionable message when absent —
+    this container carries no Iceberg runtime, so tests cover the
+    rendering and the gate, not a live CALL.  Swapping
+    'local-compaction' for 'iceberg-call' in `optimize-data.impl` is
+    the ONLY change needed to manage genuine Iceberg tables (same SPI,
+    Executor.java:9-23)."""
+
+    def __init__(self) -> None:
+        self.table_identifier: str | None = None
+        self.properties: dict[str, str] = {}
+        self.state = JobState.SUBMITTED
+        self.error: BaseException | None = None
+        self.sql_text: str | None = None
+        self._spark: SparkSession | None = None
+        self._catalog = config.CATALOG_NAME
+
+    def initialize(self, table_identifier: str, properties: dict[str, str]) -> None:
+        if not table_identifier:
+            raise ValueError("table identifier is required")
+        self.table_identifier = table_identifier
+        self.properties = dict(properties)
+        self._catalog = self.properties.get("optimize-data.catalog-name", config.CATALOG_NAME)
+        self._spark = SparkSession.getActiveSession()
+        configured = None
+        if self._spark is not None:
+            try:
+                configured = self._spark.conf.get(f"spark.sql.catalog.{self._catalog}")
+            except Exception:
+                configured = None
+        if not configured:
+            raise RuntimeError(
+                f"Iceberg catalog {self._catalog!r} is not configured on this session: "
+                f"set spark.sql.catalog.{self._catalog} to an Iceberg catalog impl "
+                "(iceberg-spark-runtime on the classpath), or use the "
+                "'local-compaction' executor for parquet-backed tables"
+            )
+
+    def execute(self) -> None:
+        """Renders + submits the CALL synchronously (the procedure is
+        itself a blocking Spark job — the async/poll split the AWS
+        backends need does not apply in-process)."""
+        self.sql_text = render_optimize_sql(
+            self.table_identifier, self.properties, catalog=self._catalog
+        )
+        self.state = JobState.RUNNING
+        try:
+            self._spark.sql(self.sql_text).collect()  # procedure result is 1 summary row
+            self.state = JobState.SUCCEEDED
+        except BaseException as e:  # noqa: BLE001 — surfaced like the poll path
+            self.error = e
+            self.state = JobState.FAILED
+            raise
+
+
 class CommitReporter:
     """The `MetricsReporter` analog — the write-path hook that makes the
     engine self-managing (AwsTableManagementMetricsEvaluator.java:36:

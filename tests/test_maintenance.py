@@ -241,3 +241,40 @@ def test_commit_reporter_filters_non_write_events(spark, small_table):
     assert reporter.report(small_table, "scan") is None  # commit-kind filter
     with pytest.raises(ValueError, match="table_dir"):
         reporter.report("", "append")
+
+
+def test_render_optimize_sql_matches_reference_shape():
+    """A14/A15 driver-side render: table/options/strategy/sort_order in
+    the reference's argument order, options sorted, defaults from
+    AwsManageProperties.java:48-56."""
+    sql = jobs.render_optimize_sql("db.t1", {})
+    assert sql == (
+        "CALL aws_ebtm.system.rewrite_data_files(table => 'db.t1', "
+        "options => map('max-file-group-size-bytes','10737418240',"
+        "'partial-progress.enabled','true'), strategy => 'binpack')"
+    )
+    sql2 = jobs.render_optimize_sql(
+        "db.t2",
+        {
+            "optimize-data.options.zz": "1",
+            "optimize-data.options.aa": "2",
+            "optimize-data.strategy": "sort",
+            "optimize-data.sort-order": "c1 ASC,c2 DESC",
+        },
+    )
+    assert sql2 == (
+        "CALL aws_ebtm.system.rewrite_data_files(table => 'db.t2', "
+        "options => map('aa','2','zz','1'), strategy => 'sort', "
+        "sort_order => 'c1 ASC,c2 DESC')"
+    )
+
+
+def test_iceberg_call_executor_gates_on_catalog(spark):
+    """The 'iceberg-call' executor is registered in the SPI and fails
+    fast (actionable message) when the session has no Iceberg catalog —
+    the swap-ready seam for real Iceberg tables."""
+    ex = jobs.load_executor("iceberg-call")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        ex.initialize("db.t1", {})
+    with pytest.raises(ValueError, match="identifier"):
+        ex.initialize("", {})
