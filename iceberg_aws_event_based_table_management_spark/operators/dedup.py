@@ -245,7 +245,7 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     return fp
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Near-duplicate CLUSTER resolution: union the pair graph into
     connected components, component id = min doc_id in the component
     (the survivor).  Pairwise output alone under-deduplicates: if A~B
@@ -259,7 +259,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     output), which is duplicate-count-sized, not corpus-sized; each
     round is one join + one agg, localCheckpoint'ed to truncate
     lineage.  The convergence check counts changed labels — bounded
-    metadata, not data.  At extreme scale swap for the large-star/
+    metadata, not data.  Exhausting max_iters without convergence
+    RAISES rather than returning silently-wrong partial labels (a
+    chain of diameter > max_iters would otherwise split one cluster
+    into several).  At extreme scale swap for the large-star/
     small-star formulation (same join primitive, provably fewer
     rounds)."""
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
@@ -294,6 +297,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the pair graph has a component of extreme diameter - raise "
+            "max_iters or switch to the large-star/small-star contraction"
+        )
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 

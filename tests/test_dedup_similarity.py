@@ -331,3 +331,16 @@ def test_knn_join_enforces_broadcast_cap(spark, sf_dir):
     emb = io.table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="broadcast cap"):
         S.knn_join(emb, emb, k=2, max_broadcast_rows=10)
+
+
+def test_connected_components_chain_and_convergence_guard(spark):
+    """A 6-node chain collapses to one component (min label reaches the
+    far end), and an under-budgeted iteration cap raises instead of
+    returning silently split clusters."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_id_a long, doc_id_b long"
+    )
+    comp = {r.doc_id: r.component_id for r in D.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}, comp
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iters=2)

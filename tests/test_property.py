@@ -192,3 +192,45 @@ def test_shard_round_robin_counts_and_totals(spark, rows):
     assert sum(counts) == len(rows)
     assert max(counts) - min(counts) <= 1
     assert sum(r["total_chars"] for r in out) == sum(d[2] for d in rows)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-pair Jaccard vs a literal set-arithmetic reference
+# ---------------------------------------------------------------------------
+
+_JW = ("alpha", "beta", "gamma", "delta", "eps")
+_jdoc = st.lists(st.sampled_from(_JW), min_size=0, max_size=9).map(" ".join)
+_jcorpus = st.lists(_jdoc, min_size=1, max_size=10)
+
+
+def _sh3_py(text):
+    ws = text.lower().split()
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_jcorpus)
+def test_jaccard_pairs_matches_set_arithmetic(spark, corpus):
+    """The group-by-shingle pair emission must equal the literal
+    per-pair set computation (intersection / union over distinct
+    3-gram sets) at any threshold — the rewrite from the self-join
+    formulation must not change a single pair or count."""
+    from iceberg_aws_event_based_table_management_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): (r.n_common, r.n_a, r.n_b)
+        for r in D.jaccard_pairs(D.shingles(docs, 3), threshold=0.3).collect()
+    }
+    want = {}
+    sets = {i: _sh3_py(t) for i, t in enumerate(corpus)}
+    for a in sets:
+        for b in sets:
+            if a >= b or not (sets[a] & sets[b]):
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.3:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == want
