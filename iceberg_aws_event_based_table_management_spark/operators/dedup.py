@@ -98,7 +98,12 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs sharing any
     (band_id, band_hash) bucket become candidate pairs.  The bucket
-    equi-join is the scale move — candidates ~ true near-dups, not n^2."""
+    equi-join is the scale move — candidates ~ true near-dups, not n^2.
+    The banded table feeds both join sides, so it is localCheckpoint'ed
+    once (doc_count x bands rows of three longs — small) instead of
+    re-running the signature aggregation per side; at production scale
+    this is exactly the persistable band INDEX the incremental
+    admission path (E63) keeps between batches."""
     assert bands * rows_per_band <= 64
     banded = signatures.select(
         "doc_id",
@@ -121,7 +126,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash").localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
