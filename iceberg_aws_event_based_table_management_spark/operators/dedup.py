@@ -267,9 +267,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     metadata, not data.  Exhausting max_iters without convergence
     RAISES rather than returning silently-wrong partial labels (a
     chain of diameter > max_iters would otherwise split one cluster
-    into several).  At extreme scale swap for the large-star/
-    small-star formulation (same join primitive, provably fewer
-    rounds)."""
+    into several).  At extreme scale swap for
+    `connected_components_star` below (same join primitives,
+    O(log^2 n) rounds on any graph shape)."""
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -309,6 +309,93 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             "max_iters or switch to the large-star/small-star contraction"
         )
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the extreme-diameter form of
+    `connected_components`: label propagation needs diameter rounds (a
+    10^6-node chain = 10^6 rounds), star contraction converges in
+    O(log^2 n) rounds on ANY graph shape, each round two bounded-key
+    aggregations + joins over the (duplicate-sized) edge set.
+
+    - large-star: every node u computes m = min(neighbors ∪ {u}) and
+      rewires its LARGER neighbors to m;
+    - small-star: over edges directed large→small, u rewires its
+      smaller neighbors (and itself) to their min.
+
+    Convergence is detected by an (edge-count, xxhash64-sum) signature
+    going stable — an O(1)-row check per round; a hash collision would
+    only DELAY termination by one extra identical round, never corrupt
+    the result, because a stable edge set is a fixpoint of both phases.
+    Exhausting max_rounds raises (same contract as
+    connected_components).  Returns (doc_id, component_id=min doc_id).
+    """
+    both = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    both = both.unionByName(
+        both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = both.distinct().localCheckpoint(eager=True)
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.select(F.xxhash64("src", "dst").alias("x")).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(x)"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # m(u) = min(min neighbor, u); every neighbor v > u rewires to m
+        mins = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        out = (
+            e.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        # emitted directed large->small; restore both directions
+        return out.unionByName(
+            out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # over edges directed large->small: u's smaller neighborhood
+        # (all dst < u) plus u itself all rewire to its min
+        down = e.filter(F.col("dst") < F.col("src"))
+        mins = down.groupBy("src").agg(F.min("dst").alias("m"))
+        nbr = down.join(mins, "src").select(F.col("dst").alias("v"), F.col("m"))
+        self_ = mins.select(F.col("src").alias("v"), F.col("m"))
+        out = nbr.unionByName(self_).filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        )
+        return out.unionByName(
+            out.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    sig = _sig(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edges form stars child<->root; components = children + roots
+    stars = edges.filter(F.col("dst") < F.col("src")).select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
+    )
+    roots = stars.select(F.col("component_id").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    )
+    return stars.unionByName(roots)
 
 
 def incremental_admit(base: DataFrame, batch: DataFrame) -> DataFrame:

@@ -344,3 +344,17 @@ def test_connected_components_chain_and_convergence_guard(spark):
     assert set(comp.values()) == {0}, comp
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, max_iters=2)
+
+
+def test_star_contraction_matches_label_propagation_on_chain(spark):
+    """The O(log^2 n)-round star contraction and the diameter-round
+    label propagation compute identical components on a worst-case
+    (chain) graph plus an isolated pair."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101)],
+        "doc_id_a long, doc_id_b long",
+    )
+    prop = {(r.doc_id, r.component_id) for r in D.connected_components(pairs).collect()}
+    star = {(r.doc_id, r.component_id) for r in D.connected_components_star(pairs).collect()}
+    assert star == prop
+    assert {c for _, c in star} == {0, 100}

@@ -234,3 +234,37 @@ def test_jaccard_pairs_matches_set_arithmetic(spark, corpus):
             if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.3:
                 want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
     assert got == want
+
+
+_jedge = st.tuples(
+    st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+).filter(lambda e: e[0] != e[1])
+_jgraph = st.lists(_jedge, min_size=1, max_size=25)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_jgraph)
+def test_star_contraction_matches_union_find(spark, edges):
+    """connected_components_star vs a literal union-find on random
+    graphs: same node set, same min-labeled components."""
+    from iceberg_aws_event_based_table_management_spark.operators import dedup as D
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    pairs = spark.createDataFrame(canon, "doc_id_a long, doc_id_b long")
+    got = {(r.doc_id, r.component_id) for r in D.connected_components_star(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in canon:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
