@@ -465,3 +465,70 @@ def normalize_quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -
         F.round(nrm, 6).alias("l2_norm"),
         qvec.alias("qvec"),
     )
+
+
+def assign_quantized_l2(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """(vec_id, cluster_id): nearest of k deterministic centroids under
+    exact quantized L2 — the k lowest vec_ids' quantized vectors serve
+    as centroids (the deterministic k-means++ stand-in; same scheme as
+    the E53 assign step, factored out here so SemDeDup can reuse it).
+
+    Scale shape: the centroid side is k rows — broadcast; the distance
+    is a map-side zip_with/aggregate over int64 (exact, engine-
+    independent — see the VEC_Q note above); the per-vector argmin is
+    a min(struct) partial agg that combines map-side.  The corpus
+    never shuffles on anything but vec_id."""
+    x = embeddings.select("vec_id", quantize(F.col("embedding")).alias("xq"))
+    cent = (
+        x.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster_id"),
+            F.col("xq").alias("cq"),
+        )
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dists = x.crossJoin(F.broadcast(cent)).select("vec_id", "cluster_id", d.alias("d"))
+    return (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster_id")).alias("m"))
+        .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+    )
+
+
+def semdedup_flags(embeddings: DataFrame, k: int = 8, tau: float = 0.3) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup by k-means blocking + within-cluster cosine pruning.  Every
+    vector is assigned to a cluster; inside each cluster, any vector
+    with a cosine >= tau neighbor of smaller vec_id is pruned (the
+    keep-lowest-id survivor rule, the same convention as exact dedup).
+    Returns (vec_id, cluster_id, is_pruned) for the whole corpus.
+
+    The clustering is what makes this the scale path for semantic
+    dedup: pairwise work is bounded per cluster (cluster_size^2), not
+    n^2 — exactly the paper's argument.  Clusters beyond ~10^5 rows
+    sub-block like threshold_pairs_blocked.  One shuffle on the
+    cluster key for the GEMM, one hash-join back on vec_id."""
+    assign = assign_quantized_l2(embeddings, k)
+    blocked = (
+        embeddings.join(assign, "vec_id")
+        .select(F.col("cluster_id").alias("label"), "vec_id", "embedding")
+    )
+    pairs = threshold_pairs_blocked(blocked, tau)
+    pruned = (
+        pairs.select(F.col("vec_id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("pr", F.lit(True))
+    )
+    return (
+        assign.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("pr", F.lit(False)).alias("is_pruned"),
+        )
+    )

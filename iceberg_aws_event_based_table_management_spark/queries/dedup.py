@@ -546,3 +546,78 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("best_jaccard", 6).alias("best_jaccard"),
         )
     )
+
+
+@register(
+    "dedup_segment_windows",
+    tier="D",
+    oracle=rf"""
+    WITH {_DUPED_CTE},
+    ws AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      FROM duped
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_no,
+             array_to_string(w[(i * 16 + 1):(i * 16 + 16)], ' ') AS seg
+      FROM ws,
+           UNNEST(generate_series(0,
+             CAST(CEIL(len(w) / 16.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY sha256(seg)
+                                ORDER BY doc_id, seg_no) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E65 — segment-level exact dedup (the line-level dedup pass of
+    CCNet/RefinedWeb, expressed over fixed 16-word windows since the
+    fixture has no newlines): every doc is cut into consecutive
+    16-word segments; a segment instance is a duplicate when an
+    identical segment occurs earlier in the corpus (first occurrence
+    by (doc_id, seg_no) survives).  Output: per-doc segment counts and
+    the duplicated fraction — the signal the cleaning pass uses to
+    strip boilerplate segments or drop mostly-duplicated docs.  Runs
+    over the corpus with replayed duplicates so whole-doc dups show up
+    as dup_fraction 1.0 on the replayed copy.
+
+    Scale shape: segmentation is a narrow transform (split + slice —
+    corpus text never shuffles); the first-occurrence rule is ONE
+    window over sha2(segment) — a single shuffle on a 256-bit key,
+    uniformly distributed by construction (no skew unless a segment
+    is genuinely hot, which is exactly the boilerplate case the window
+    then counts); the per-doc rollup partial-aggregates map-side."""
+    duped = _with_replayed_dups(
+        io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    from pyspark.sql import Window
+
+    d = duped.withColumn("w", F.split(F.lower("text"), r"\s+"))
+    nseg = F.ceil(F.size("w") / F.lit(16)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda s: F.array_join(F.slice("w", s * 16 + 1, 16), " "),
+            )
+        ).alias("seg_no", "seg"),
+    )
+    w = Window.partitionBy(F.sha2("seg", 256)).orderBy("doc_id", "seg_no")
+    r = segs.withColumn("rn", F.row_number().over(w))
+    dup = F.sum((F.col("rn") > 1).cast("long"))
+    return r.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        dup.alias("n_dup_segments"),
+        F.round(dup.cast("double") / F.count("*"), 6).alias("dup_fraction"),
+    )

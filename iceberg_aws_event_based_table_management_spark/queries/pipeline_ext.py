@@ -892,3 +892,51 @@ def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("k"))
         .select("lang", "source", "len_bucket", "k", (F.col("k") < 5).alias("reidentification_risk"))
     )
+
+
+@register(
+    "text_interdoc_ngram_coverage",
+    tier="D",
+    oracle=f"""
+    WITH
+    {_GRAMS.format(alias="c", rel="documents")},
+    df AS (
+      SELECT shingle, COUNT(*) AS df FROM gramsf_c GROUP BY shingle
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS shared_fraction
+    FROM gramsf_c g JOIN df ON g.shingle = df.shingle
+    GROUP BY g.doc_id
+    """,
+)
+def text_interdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E66 — inter-document duplication coverage: for each doc, the
+    fraction of its distinct word-3-grams that also occur in at least
+    one other document.  This is the cross-document complement of E29
+    (intra-doc repetition) and E50 (global boilerplate mining): a high
+    shared_fraction marks template/mirror pages that slip past exact
+    and even near-dup pair detection — the Gopher/Dolma 'duplicate
+    n-gram fraction' cleaning signal.
+
+    Scale shape: the shingle doc-frequency table is the same global
+    index E50 builds (one groupBy on the gram); the join back to the
+    per-doc gram table is a shuffle on the gram key, and the per-doc
+    rollup partial-aggregates.  No self-join, no pair explosion — cost
+    is linear in total shingles.  (Since shingles() emits per-doc
+    DISTINCT grams, COUNT(*) per gram IS its document frequency.)"""
+    sh = D.shingles(io.table(spark, sf_dir, "documents").select("doc_id", "text"), 3)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    shared = F.sum((F.col("df") >= 2).cast("long"))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.count("*"), 6).alias("shared_fraction"),
+        )
+    )

@@ -518,3 +518,108 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(media, n_frames=4, frame_bytes=64).select(
         "doc_id", "frame_idx", "frame_n_bytes", "frame_checksum"
     )
+
+
+_SEMDEDUP_TAU = 0.3  # fixture-calibrated: random fixture embeddings top
+# out at cosine ~0.51, so the paper's ~0.95 semantic threshold would
+# prune nothing here; 0.3 exercises real pruning (189 of 500 at sf0.01)
+
+
+@register(
+    "dedup_semantic_semdedup",
+    tier="D",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               e -> CAST(FLOOR(CAST(e AS DOUBLE) * {float(S.VEC_Q)}) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, xq AS cq
+      FROM x ORDER BY vec_id LIMIT 8
+    ),
+    dists AS (
+      SELECT x.vec_id, c.cluster_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               j -> (x.xq[j] - c.cq[j]) * (x.xq[j] - c.cq[j]))) AS BIGINT) AS d
+      FROM x CROSS JOIN cent c
+    ),
+    best AS (
+      SELECT vec_id, cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+      FROM dists
+    ),
+    assigned AS (
+      SELECT b.vec_id, b.cluster_id, x.embedding
+      FROM best b JOIN x ON b.vec_id = x.vec_id WHERE rn = 1
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE ROUND({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6)
+            >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.cluster_id, (p.vec_id IS NOT NULL) AS is_pruned
+    FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E64 — SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+    blocking + within-cluster cosine pruning; a vector is pruned when a
+    smaller-vec_id neighbor in its cluster has cosine >= tau.  The
+    reference delegates all data-plane dedup to its Spark jobs
+    (EMRSparkUtil.java renders spark-sql only), so this is the
+    embedding-space member of the engine's dedup family (D1 exact, D2
+    MinHash, D2s SimHash, E64 semantic).
+
+    Exactness: assignment is int64-quantized L2 (VEC_Q scheme —
+    engine-independent); within-cluster cosines use the same
+    float64-GEMM/ROUND(_,6) pairing the r3-green similarity_threshold_
+    pairs proved out.  Scale: pairwise work bounded per cluster, never
+    n^2 — the paper's own argument; at 100 TB cluster_id becomes a
+    partition key and each cluster GEMMs independently."""
+    return S.semdedup_flags(
+        io.table(spark, sf_dir, "embeddings"), k=8, tau=_SEMDEDUP_TAU
+    )
+
+
+@register(
+    "ann_recall_audit",
+    tier="D",
+    oracle=f"""
+    WITH bf AS (
+      WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id FROM embeddings CROSS JOIN q
+      ORDER BY ROUND({_DUCK_COS.format(a="embedding", b="qe")}, 6) DESC, vec_id
+      LIMIT 20
+    ),
+    iv AS ({_ivf_oracle_sql()})
+    SELECT 20 AS k, COUNT(*) AS n_common,
+           ROUND(COUNT(*) / 20.0, 6) AS recall_at_k
+    FROM bf JOIN iv ON bf.vec_id = iv.vec_id
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E68 — ANN recall@20 audit: |IVF top-20 ∩ exact top-20| / 20 —
+    the quality gate every approximate index needs before it replaces
+    the exact path in production.  Composes two already-oracle-exact
+    queries (topk_similarity_bruteforce, ann_topk_ivf), so the audit
+    itself is oracle-exact: both engines replay the identical IVF
+    training (VEC_Q integer k-means) and brute-force ranking.
+
+    Scale: the two top-k results are k rows each — the join and the
+    count are driver-trivial; the cost is the two searches themselves,
+    each already scale-shaped (TakeOrderedAndProject / partition-
+    pruned probes)."""
+    e = io.table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    bf = S.topk_bruteforce(e, qv, 20).select("vec_id")
+    iv = S.ann_topk_ivf(e, qv, k=20).select("vec_id")
+    common = bf.join(iv, "vec_id")
+    return common.agg(F.count("*").alias("n_common")).select(
+        F.lit(20).alias("k"),
+        "n_common",
+        F.round(F.col("n_common") / 20.0, 6).alias("recall_at_k"),
+    )

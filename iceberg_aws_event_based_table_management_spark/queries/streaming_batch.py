@@ -304,3 +304,77 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = replay.run_merge_upsert_stream(spark, path, tmp)
         rows = final.collect()
         return spark.createDataFrame(rows, final.schema)
+
+
+@register(
+    "stream_join_view_purchase",
+    tier="C",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E67 (real streaming, SQL oracle): stream-stream interval join —
+    view->purchase attribution within 30 minutes per user, the
+    canonical two-stream stateful join (and the shape of the
+    reference's commit->optimize causality chain run as one query).
+    Both sides are watermarked 1 h; the interval condition bounds each
+    side's state retention, so Spark evicts join state as the
+    watermark advances — the unbounded-production posture.
+
+    Exactness vs the batch oracle: replay_dir pins time-ordered
+    micro-batches, so no row ever arrives behind the watermark, and a
+    cross-batch match's left row is provably still in state when the
+    right row arrives (eviction only once the watermark clears
+    view_ts + 30 min, and later batches carry strictly later
+    event-time).  Inner join + in-order replay => the emitted set
+    equals the batch interval join exactly.
+
+    The NTZ->LTZ cast crossing mirrors watermarked_tumbling (Spark
+    rejects NTZ event time; session tz is pinned UTC so the cast is
+    wall-clock-identity), and results cross back to NTZ."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        views = (
+            replay.read_stream(spark, path, 2)
+            .filter(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").cast("timestamp").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 hour")
+        )
+        purchases = (
+            replay.read_stream(spark, path, 2)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").cast("timestamp").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = views.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND "
+                "purchase_ts >= view_ts AND "
+                "purchase_ts <= view_ts + interval 30 minutes"
+            ),
+        ).select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+        out = replay.run_to_memory(
+            joined, f"ssj_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

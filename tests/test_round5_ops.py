@@ -1,0 +1,158 @@
+"""Semantic invariants for the round-5 operators (E64-E68): SemDeDup,
+segment-level dedup, inter-doc n-gram coverage, the stream-stream
+interval join, and the ANN recall audit.  Value correctness is the
+DuckDB oracle's job (tools/check.py); these lock the contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import iceberg_aws_event_based_table_management_spark as engine
+from iceberg_aws_event_based_table_management_spark import io
+from iceberg_aws_event_based_table_management_spark.operators import similarity as S
+from iceberg_aws_event_based_table_management_spark.queries.similarity import (
+    _SEMDEDUP_TAU,
+)
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    engine.load_all_queries()
+    return engine.query_map()
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_semdedup_kept_set_is_tau_separated(spark, sf_dir, qmap):
+    """The defining SemDeDup guarantee: after pruning, no two KEPT
+    vectors in the same cluster are within tau of each other; and
+    every vector appears exactly once (partition)."""
+    flags = qmap["dedup_semantic_semdedup"](spark, sf_dir).collect()
+    n_vecs = io.table(spark, sf_dir, "embeddings").count()
+    assert len(flags) == n_vecs
+    assert len({r.vec_id for r in flags}) == n_vecs
+
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in io.table(spark, sf_dir, "embeddings").collect()
+    }
+    kept_by_cluster: dict[int, list[int]] = {}
+    for r in flags:
+        if not r.is_pruned:
+            kept_by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    for vids in kept_by_cluster.values():
+        vids.sort()
+        for i, a in enumerate(vids):
+            for b in vids[i + 1 :]:
+                # mirror the operator's rounding before comparing
+                assert round(_cos(emb[a], emb[b]), 6) < _SEMDEDUP_TAU, (a, b)
+
+
+def test_semdedup_pruned_have_smaller_neighbor(spark, sf_dir, qmap):
+    """Every pruned vector has a justification: a smaller-vec_id
+    vector in the same cluster with cosine >= tau."""
+    flags = qmap["dedup_semantic_semdedup"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in io.table(spark, sf_dir, "embeddings").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in flags:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    n_pruned = 0
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: r.vec_id)
+        for i, r in enumerate(rows):
+            if r.is_pruned:
+                n_pruned += 1
+                assert any(
+                    round(_cos(emb[s.vec_id], emb[r.vec_id]), 6) >= _SEMDEDUP_TAU
+                    for s in rows[:i]
+                ), r.vec_id
+    assert n_pruned > 0  # tau is fixture-calibrated to actually prune
+
+
+def test_segment_dedup_replayed_docs_fully_duplicated(spark, sf_dir, qmap):
+    """The replayed copies (doc_id >= 1_000_000) re-ingest existing
+    text verbatim, so every one of their segments has an earlier
+    occurrence: dup_fraction must be exactly 1.0; and per-doc segment
+    counts equal ceil(n_words / 16)."""
+    rows = qmap["dedup_segment_windows"](spark, sf_dir).collect()
+    replayed = [r for r in rows if r.doc_id >= 1_000_000]
+    assert replayed, "fixture should contain replayed duplicates"
+    assert all(r.dup_fraction == 1.0 for r in replayed)
+
+    words = {
+        r.doc_id: len(r.text.lower().split())
+        for r in io.table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        base = r.doc_id - 1_000_000 if r.doc_id >= 1_000_000 else r.doc_id
+        assert r.n_segments == math.ceil(words[base] / 16)
+        assert 0 <= r.n_dup_segments <= r.n_segments
+
+
+def test_interdoc_coverage_bounds_and_self_exclusion(spark, sf_dir, qmap):
+    """shared_fraction in [0,1]; a gram counts as shared only with df
+    >= 2, i.e. a doc's own occurrence never marks it shared (df of a
+    gram unique to one doc is 1)."""
+    rows = qmap["text_interdoc_ngram_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_shared <= r.n_grams
+        assert 0.0 <= r.shared_fraction <= 1.0
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir, qmap):
+    """The streaming inner interval join over the time-ordered replay
+    must emit exactly the batch interval-join pairs."""
+    got = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in qmap["stream_join_view_purchase"](spark, sf_dir).collect()
+    }
+    ev = io.table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ann_recall_audit_is_consistent(spark, sf_dir, qmap):
+    """recall = n_common/20, bounded, and consistent with directly
+    intersecting the two top-k paths."""
+    row = qmap["ann_recall_audit"](spark, sf_dir).collect()[0]
+    assert row.k == 20
+    assert 0 <= row.n_common <= 20
+    assert row.recall_at_k == round(row.n_common / 20.0, 6)
+
+    e = io.table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter("vec_id = 0").select("embedding").collect()[0][0]
+    ]
+    bf = {r.vec_id for r in S.topk_bruteforce(e, qv, 20).collect()}
+    iv = {r.vec_id for r in S.ann_topk_ivf(e, qv, k=20).collect()}
+    assert row.n_common == len(bf & iv)
