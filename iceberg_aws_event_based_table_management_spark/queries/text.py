@@ -463,3 +463,80 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return TX.redact_pii(docs).select("doc_id", "n_emails", "n_phones", "redacted")
+
+
+# Hashed-feature linear classifier: bucket = 60-bit engine-neutral
+# word hash mod _CLF_BUCKETS; weight = a pure integer function of the
+# bucket (LCG step), standing in for trained fasttext-style weights.
+# Everything until the final divide is int64, so both engines agree
+# bit for bit.
+_CLF_BUCKETS = 4096
+_CLF_HASH_SQL = (
+    "CAST(list_reduce(string_split('0' || substr(md5({w}), 1, 15), ''), "
+    "(acc, c) -> CAST(acc AS BIGINT) * 16 "
+    "+ strpos('0123456789abcdef', c) - 1) AS BIGINT)"
+)
+
+
+@register(
+    "text_quality_classifier",
+    tier="D",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(ws,
+               w -> ({_CLF_HASH_SQL.format(w="w")} % {_CLF_BUCKETS})
+                    * 48271 % 65537 - 32768)) AS BIGINT) AS raw
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(raw AS DOUBLE) / (32768.0 * n_tokens), 6) AS clf_score,
+           (CAST(raw AS DOUBLE) / (32768.0 * n_tokens)) >= 0.0 AS keep
+    FROM scored
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E69 — model-scored corpus filtering: a hashed-feature linear
+    classifier (the fasttext-style quality/toxicity filter every
+    production corpus pipeline applies after the heuristic gates)
+    evaluated over the whole corpus.  Tokens hash to 4096 buckets
+    (engine-neutral 60-bit md5 hash); the per-bucket weight stands in
+    for trained coefficients as a pure integer function of the bucket
+    (LCG step, int64 end-to-end), so the mean-weight score and the
+    keep decision are bit-exact in both engines — swap the weight
+    expression for a broadcast weight table to serve a real model.
+
+    Scale shape: ZERO shuffle — tokenize, hash, and fold entirely
+    inside a per-row aggregate over the word array (no explode, no
+    groupBy); one divide and one round at the end.  This is the
+    model-scoring pattern at 100 TB: linear scan, map-side only,
+    weights broadcast."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+
+    def _weight(w):
+        b = F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long") % _CLF_BUCKETS
+        return b * 48271 % 65537 - 32768
+
+    raw = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + _weight(w)
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        raw.alias("raw"),
+    )
+    score = F.col("raw").cast("double") / (32768.0 * F.col("n_tokens"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("clf_score"),
+        (score >= 0.0).alias("keep"),
+    )

@@ -1,6 +1,6 @@
-"""Semantic invariants for the round-5 operators (E64-E68): SemDeDup,
+"""Semantic invariants for the round-5 operators (E64-E69): SemDeDup,
 segment-level dedup, inter-doc n-gram coverage, the stream-stream
-interval join, and the ANN recall audit.  Value correctness is the
+interval join, the ANN recall audit, and the hashed linear classifier.  Value correctness is the
 DuckDB oracle's job (tools/check.py); these lock the contracts."""
 
 from __future__ import annotations
@@ -156,3 +156,20 @@ def test_ann_recall_audit_is_consistent(spark, sf_dir, qmap):
     bf = {r.vec_id for r in S.topk_bruteforce(e, qv, 20).collect()}
     iv = {r.vec_id for r in S.ann_topk_ivf(e, qv, k=20).collect()}
     assert row.n_common == len(bf & iv)
+
+
+def test_quality_classifier_is_shuffle_free_and_consistent(spark, sf_dir, qmap):
+    """E69 contract: scoring is map-side only (no Exchange in the
+    plan), and keep <=> score >= 0."""
+    df = qmap["text_quality_classifier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens > 0
+        # keep is decided on the UNROUNDED score; clf_score is rounded
+        # to 1e-6, so only assert consistency away from the boundary
+        if abs(r.clf_score) > 1e-6:
+            assert r.keep == (r.clf_score >= 0.0)
+        assert -1.0 <= r.clf_score <= 1.0
