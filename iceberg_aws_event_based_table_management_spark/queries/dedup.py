@@ -621,3 +621,79 @@ def dedup_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup_segments"),
         F.round(dup.cast("double") / F.count("*"), 6).alias("dup_fraction"),
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    tier="D",
+    oracle=r"""
+    WITH ws AS (
+      SELECT source, regexp_split_to_array(lower(text), '\s+') AS w
+      FROM documents
+    ),
+    segs AS (
+      SELECT DISTINCT source,
+             sha256(array_to_string(w[(i * 16 + 1):(i * 16 + 16)], ' ')) AS h
+      FROM ws,
+           UNNEST(generate_series(0,
+             CAST(CEIL(len(w) / 16.0) AS BIGINT) - 1)) AS t(i)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_segments
+    FROM segs a JOIN segs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E70 — cross-source contamination matrix: for every pair of
+    corpus sources, how many distinct 16-word segments they share —
+    the governance report that catches mirror sites, syndicated
+    content, and benchmark text leaking in through multiple crawl
+    sources (the fixture's sources share 66 segments at sf0.01, zero
+    whole documents — exactly the case only segment granularity sees).
+
+    Scale shape: NOT a self-join — segments group by hash and each
+    group emits pairs from its sorted distinct-source set (bounded by
+    the source count, ~dozens, so per-group work is trivially small);
+    the matrix rollup aggregates on source-pair keys.  One shuffle on
+    the segment hash, one on the (tiny) pair key — same grouped-pairs
+    shape as jaccard_pairs (operators/dedup.py), which never
+    materializes candidates beyond true co-occurrences."""
+    docs = io.table(spark, sf_dir, "documents").select("source", "text")
+    d = docs.withColumn("w", F.split(F.lower("text"), r"\s+"))
+    nseg = F.ceil(F.size("w") / F.lit(16)).cast("int")
+    segs = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda s: F.sha2(F.array_join(F.slice("w", s * 16 + 1, 16), " "), 256),
+            )
+        ).alias("h"),
+    ).distinct()
+    srcs = (
+        segs.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    # sorted distinct sources -> each element pairs with its suffix:
+    # every (a < b) pair exactly once (the jaccard_pairs trick)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("srcs"), i + 2, F.greatest(F.size("srcs") - i - 1, F.lit(1))
+                ),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        srcs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared_segments"))
+    )

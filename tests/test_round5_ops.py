@@ -1,6 +1,7 @@
-"""Semantic invariants for the round-5 operators (E64-E69): SemDeDup,
+"""Semantic invariants for the round-5 operators (E64-E70): SemDeDup,
 segment-level dedup, inter-doc n-gram coverage, the stream-stream
-interval join, the ANN recall audit, and the hashed linear classifier.  Value correctness is the
+interval join, the ANN recall audit, the hashed linear classifier,
+and the cross-source contamination matrix.  Value correctness is the
 DuckDB oracle's job (tools/check.py); these lock the contracts."""
 
 from __future__ import annotations
@@ -173,3 +174,16 @@ def test_quality_classifier_is_shuffle_free_and_consistent(spark, sf_dir, qmap):
         if abs(r.clf_score) > 1e-6:
             assert r.keep == (r.clf_score >= 0.0)
         assert -1.0 <= r.clf_score <= 1.0
+
+
+def test_cross_source_matrix_is_symmetric_free_and_ordered(spark, sf_dir, qmap):
+    """E70 contract: pairs are emitted once with source_a < source_b,
+    counts are positive, and no source pairs with itself."""
+    rows = qmap["dedup_cross_source_matrix"](spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared_segments >= 1
+        key = (r.source_a, r.source_b)
+        assert key not in seen
+        seen.add(key)
