@@ -660,3 +660,195 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_v").cast("double") - F.col("exact_v")) / F.col("exact_v"), 6
         ).alias("rel_err"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    tier="C",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E71 — event-type transition matrix: per-user event sequences
+    (ordered by ts, event_id) reduced to first-order Markov transition
+    counts and probabilities — the behavioral fingerprint used for
+    bot/anomaly detection over a commit/event log and for synthetic-
+    trace generation.
+
+    Scale shape: one shuffle on user_id for the lag window; the
+    transition rollup is an agg on |event_types|^2 keys (tiny) and the
+    probability normalization is a window over that tiny table —
+    everything after the first exchange is metadata-sized."""
+    ev = io.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    tier="C",
+    oracle="""
+    WITH staged AS (
+      SELECT user_id, event_type, ts, event_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS mv
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, ts,
+             MIN(CASE WHEN event_type = 'click' AND mv IS NOT NULL
+                       AND ts > mv THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS mc,
+             event_type, mv
+      FROM staged
+    ),
+    per_user AS (
+      SELECT user_id,
+             MIN(mv) AS t_view,
+             MIN(mc) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND mc IS NOT NULL
+                       AND ts > mc THEN ts END) AS t_purchase
+      FROM clicks GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked_after_view,
+           COUNT(t_purchase) AS n_purchased_after_click,
+           ROUND(CAST(COUNT(t_purchase) AS DOUBLE)
+                 / COUNT(t_view), 6) AS view_to_purchase_rate
+    FROM per_user
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E72 — ordered funnel (view -> later click -> later purchase):
+    per user, the first view, the first click strictly after that
+    view, and the first purchase strictly after that click; rolled up
+    to stage conversion counts.  Ordering matters — a purchase before
+    the qualifying click does not count, which is why this is running-
+    min windows, not three independent MINs.
+
+    Scale shape: BOTH stage windows stack on one (user_id; ts,
+    event_id) sort — a single exchange + a single per-partition sort
+    serve the whole funnel; the per-user agg rides the same
+    partitioning and the final rollup is one row."""
+    ev = io.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.select("user_id", "event_type", "ts", "event_id", mv.alias("mv"))
+    mc = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("mv").isNotNull()
+            & (F.col("ts") > F.col("mv")),
+            F.col("ts"),
+        )
+    ).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    clicks = staged.select("user_id", "event_type", "ts", "mv", mc.alias("mc"))
+    per_user = clicks.groupBy("user_id").agg(
+        F.min("mv").alias("t_view"),
+        F.min("mc").alias("t_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("mc").isNotNull()
+                & (F.col("ts") > F.col("mc")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+        F.round(
+            F.count("t_purchase").cast("double") / F.count("t_view"), 6
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@register(
+    "event_cohort_retention",
+    tier="C",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week',
+               MIN(CASE WHEN event_type = 'signup' THEN ts END))
+               AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_week,
+           COUNT(DISTINCT e.user_id) AS n_active_users
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    WHERE c.cohort_week IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E73 — cohort retention matrix: users grouped by first-signup
+    week; per (cohort_week, activity_week), how many of that cohort's
+    users were active — the standard retention triangle over the
+    commit/event log.
+
+    Scale shape: the cohort map is one row per user — orders of
+    magnitude smaller than the event log, so it BROADCASTS (hint
+    below; at 10^9 users fall back to a shuffle-hash join on
+    user_id); the matrix agg runs on (cohort, week) keys.  The
+    distinct-user count shuffles once on the compound key."""
+    ev = io.table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc(
+            "week", F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        )
+        .cast("timestamp_ntz")
+        .alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .filter(F.col("cohort_week").isNotNull())
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("timestamp_ntz").alias("activity_week"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )

@@ -1,8 +1,9 @@
-"""Semantic invariants for the round-5 operators (E64-E70): SemDeDup,
+"""Semantic invariants for the round-5 operators (E64-E73): SemDeDup,
 segment-level dedup, inter-doc n-gram coverage, the stream-stream
 interval join, the ANN recall audit, the hashed linear classifier,
-and the cross-source contamination matrix.  Value correctness is the
-DuckDB oracle's job (tools/check.py); these lock the contracts."""
+the cross-source contamination matrix, and the event-analytics trio
+(transition matrix, funnel, cohort retention).  Value correctness is
+the DuckDB oracle's job (tools/check.py); these lock the contracts."""
 
 from __future__ import annotations
 
@@ -187,3 +188,40 @@ def test_cross_source_matrix_is_symmetric_free_and_ordered(spark, sf_dir, qmap):
         key = (r.source_a, r.source_b)
         assert key not in seen
         seen.add(key)
+
+
+def test_transition_matrix_probabilities_normalize(spark, sf_dir, qmap):
+    """E71 contract: outgoing probabilities per prev_type sum to ~1
+    and every count is positive."""
+    rows = qmap["event_transition_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert r.n >= 1
+        assert 0.0 < r.p <= 1.0
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-4, (prev, total)
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir, qmap):
+    """E72 contract: each funnel stage can only lose users."""
+    r = qmap["event_funnel_conversion"](spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_viewed >= r.n_clicked_after_view >= r.n_purchased_after_click
+    assert r.n_viewed > 0
+
+
+def test_cohort_retention_covers_signup_users(spark, sf_dir, qmap):
+    """E73 contract: every cohort's first activity week is <= its
+    cohort week's own activity (a cohort is active the week it signs
+    up... its signup event IS activity), and user counts are
+    positive."""
+    rows = qmap["event_cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    cohorts = {}
+    for r in rows:
+        assert r.n_active_users >= 1
+        cohorts.setdefault(r.cohort_week, []).append(r.activity_week)
+    for cw, weeks in cohorts.items():
+        # the signup event itself is activity in the cohort week
+        assert cw in weeks, (cw, sorted(weeks)[:3])
