@@ -318,3 +318,93 @@ def snapshot_retention_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(policy("keep_age", "keep_max_age"))
         .unionByName(policy("keep_replace", "keep_since_replace"))
     )
+
+
+_SKIP_LO = "1995-03-01"
+_SKIP_HI = "1995-08-31"
+
+
+@register(
+    "files_skipping_estimate",
+    tier="B",
+    oracle=f"""
+    WITH fstats AS (
+      SELECT 't' || CAST(l_orderkey % {config.FILES_TABLE_COUNT} AS VARCHAR)
+               AS table_name,
+             l_orderkey // 100 AS file_no,
+             MIN(l_shipdate) AS min_shipdate,
+             MAX(l_shipdate) AS max_shipdate,
+             COUNT(*) AS record_count
+      FROM lineitem GROUP BY 1, 2
+    ),
+    judged AS (
+      SELECT table_name, record_count,
+             (max_shipdate < DATE '{_SKIP_LO}'
+              OR min_shipdate > DATE '{_SKIP_HI}') AS skipped,
+             (min_shipdate >= DATE '{_SKIP_LO}'
+              AND max_shipdate <= DATE '{_SKIP_HI}') AS full_match
+      FROM fstats
+    )
+    SELECT table_name,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skipped,
+           CAST(SUM(CASE WHEN full_match THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_match,
+           CAST(SUM(CASE WHEN NOT skipped THEN record_count ELSE 0 END)
+                AS BIGINT) AS rows_scanned,
+           ROUND(CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS skip_fraction
+    FROM judged GROUP BY table_name
+    """,
+)
+def files_skipping_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E74 — min/max file-skipping estimator: the manifest-evaluator
+    logic Iceberg runs at scan planning (InclusiveMetricsEvaluator —
+    the reason compaction pays off: fewer, better-clustered files skip
+    more).  Each emulated data file (100-order slices of lineitem,
+    richer than io.files' one-row files) carries l_shipdate min/max
+    stats; for a ship-date range predicate the estimator classifies
+    every file as skipped (no overlap), fully matched (contained —
+    Iceberg's residual-free case), or scanned, and reports per-table
+    skip ratios + rows actually scanned.  This is the observability
+    query a table-management service runs to QUANTIFY what a sort/
+    zorder rewrite (B2) would buy before submitting it — the
+    evidence-driven version of the reference's blind commit-count
+    trigger (AwsManageProperties.java:11-13).
+
+    Scale shape: file stats are ONE groupBy over the raw table (in a
+    real lake they already exist in manifests — zero scan); the
+    judge + rollup then run on file-count-sized metadata.  Nothing
+    else shuffles."""
+    li = io.table(spark, sf_dir, "lineitem")
+    fstats = li.groupBy(
+        F.concat(
+            F.lit("t"), (F.col("l_orderkey") % config.FILES_TABLE_COUNT).cast("string")
+        ).alias("table_name"),
+        (F.col("l_orderkey") / 100).cast("long").alias("file_no"),
+    ).agg(
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.count("*").alias("record_count"),
+    )
+    lo, hi = F.lit(_SKIP_LO).cast("date"), F.lit(_SKIP_HI).cast("date")
+    judged = fstats.select(
+        "table_name",
+        "record_count",
+        ((F.col("max_shipdate") < lo) | (F.col("min_shipdate") > hi)).alias("skipped"),
+        ((F.col("min_shipdate") >= lo) & (F.col("max_shipdate") <= hi)).alias(
+            "full_match"
+        ),
+    )
+    return judged.groupBy("table_name").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("skipped").cast("long")).alias("n_skipped"),
+        F.sum(F.col("full_match").cast("long")).alias("n_full_match"),
+        F.sum(F.when(~F.col("skipped"), F.col("record_count")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.round(
+            F.sum(F.col("skipped").cast("long")).cast("double") / F.count("*"), 6
+        ).alias("skip_fraction"),
+    )

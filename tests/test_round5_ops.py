@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-5 operators (E64-E73): SemDeDup,
+"""Semantic invariants for the round-5 operators (E64-E74): SemDeDup,
 segment-level dedup, inter-doc n-gram coverage, the stream-stream
 interval join, the ANN recall audit, the hashed linear classifier,
 the cross-source contamination matrix, and the event-analytics trio
@@ -225,3 +225,17 @@ def test_cohort_retention_covers_signup_users(spark, sf_dir, qmap):
     for cw, weeks in cohorts.items():
         # the signup event itself is activity in the cohort week
         assert cw in weeks, (cw, sorted(weeks)[:3])
+
+
+def test_file_skipping_estimate_partitions_files(spark, sf_dir, qmap):
+    """E74 contract: skipped and fully-matched files are disjoint
+    subsets of the inventory, and skipping some files is actually
+    demonstrated on the fixture (the estimator is not vacuous)."""
+    rows = qmap["files_skipping_estimate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_skipped <= r.n_files
+        assert 0 <= r.n_full_match <= r.n_files - r.n_skipped
+        assert r.rows_scanned >= 0
+        assert abs(r.skip_fraction - r.n_skipped / r.n_files) < 1e-6
+    assert any(r.n_skipped > 0 for r in rows)
