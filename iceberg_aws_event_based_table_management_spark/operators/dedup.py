@@ -433,3 +433,36 @@ def incremental_admit(base: DataFrame, batch: DataFrame) -> DataFrame:
         reason.alias("reason"),
         (~F.col("dup_of_base") & (F.col("rk") == 1)).alias("admitted"),
     )
+
+
+def segment_dedup_stats(documents: DataFrame, seg_words: int = 16) -> DataFrame:
+    """Segment-level exact dedup (E65 core): cut each doc into consecutive
+    `seg_words`-word segments; a segment instance is a duplicate when
+    an identical segment occurs earlier in the corpus (first
+    occurrence by (doc_id, seg_no) survives).  Returns per-doc
+    (n_segments, n_dup_segments, dup_fraction).
+
+    One shuffle total: the first-occurrence rule is a single
+    row_number window over sha2(segment) — uniform 256-bit key, no
+    skew; the per-doc rollup partial-aggregates map-side."""
+    d = documents.withColumn("w", F.split(F.lower("text"), r"\s+"))
+    nseg = F.ceil(F.size("w") / F.lit(seg_words)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda s: F.array_join(F.slice("w", s * seg_words + 1, seg_words), " "),
+            )
+        ).alias("seg_no", "seg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2("seg", 256)).orderBy("doc_id", "seg_no")
+    r = segs.withColumn("rn", F.row_number().over(w))
+    dup = F.sum((F.col("rn") > 1).cast("long"))
+    return r.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        dup.alias("n_dup_segments"),
+        F.round(dup.cast("double") / F.count("*"), 6).alias("dup_fraction"),
+    )

@@ -712,6 +712,44 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_stage_times(ev: DataFrame) -> DataFrame:
+    """E72 core, shared with the property-test mirror: per-user
+    (t_view, t_click, t_purchase) where each stage's first timestamp
+    must be strictly after the previous stage's.  Both running-min
+    windows stack on one (user_id; ts, event_id) sort."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.select("user_id", "event_type", "ts", "event_id", mv.alias("mv"))
+    mc = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("mv").isNotNull()
+            & (F.col("ts") > F.col("mv")),
+            F.col("ts"),
+        )
+    ).over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    clicks = staged.select("user_id", "event_type", "ts", "mv", mc.alias("mc"))
+    return clicks.groupBy("user_id").agg(
+        F.min("mv").alias("t_view"),
+        F.min("mc").alias("t_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("mc").isNotNull()
+                & (F.col("ts") > F.col("mc")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase"),
+    )
+
 @register(
     "event_funnel_conversion",
     tier="C",
@@ -761,39 +799,7 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) sort — a single exchange + a single per-partition sort
     serve the whole funnel; the per-user agg rides the same
     partitioning and the final rollup is one row."""
-    ev = io.table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    mv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    staged = ev.select("user_id", "event_type", "ts", "event_id", mv.alias("mv"))
-    mc = F.min(
-        F.when(
-            (F.col("event_type") == "click")
-            & F.col("mv").isNotNull()
-            & (F.col("ts") > F.col("mv")),
-            F.col("ts"),
-        )
-    ).over(
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    clicks = staged.select("user_id", "event_type", "ts", "mv", mc.alias("mc"))
-    per_user = clicks.groupBy("user_id").agg(
-        F.min("mv").alias("t_view"),
-        F.min("mc").alias("t_click"),
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & F.col("mc").isNotNull()
-                & (F.col("ts") > F.col("mc")),
-                F.col("ts"),
-            )
-        ).alias("t_purchase"),
-    )
+    per_user = funnel_stage_times(io.table(spark, sf_dir, "events"))
     return per_user.agg(
         F.count("*").alias("n_users"),
         F.count("t_view").alias("n_viewed"),

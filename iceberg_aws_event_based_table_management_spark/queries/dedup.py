@@ -600,27 +600,7 @@ def dedup_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     duped = _with_replayed_dups(
         io.table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    from pyspark.sql import Window
-
-    d = duped.withColumn("w", F.split(F.lower("text"), r"\s+"))
-    nseg = F.ceil(F.size("w") / F.lit(16)).cast("int")
-    segs = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nseg - 1),
-                lambda s: F.array_join(F.slice("w", s * 16 + 1, 16), " "),
-            )
-        ).alias("seg_no", "seg"),
-    )
-    w = Window.partitionBy(F.sha2("seg", 256)).orderBy("doc_id", "seg_no")
-    r = segs.withColumn("rn", F.row_number().over(w))
-    dup = F.sum((F.col("rn") > 1).cast("long"))
-    return r.groupBy("doc_id").agg(
-        F.count("*").alias("n_segments"),
-        dup.alias("n_dup_segments"),
-        F.round(dup.cast("double") / F.count("*"), 6).alias("dup_fraction"),
-    )
+    return D.segment_dedup_stats(duped, seg_words=16)
 
 
 @register(

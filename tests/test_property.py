@@ -268,3 +268,117 @@ def test_star_contraction_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: funnel + segment dedup vs imperative mirrors
+# ---------------------------------------------------------------------------
+
+_FUNNEL_TYPES = ("view", "click", "purchase", "other")
+
+funnel_event = st.tuples(
+    st.integers(min_value=0, max_value=30),  # ts offset (small -> ties across users, strict-after edge cases)
+    st.sampled_from(_FUNNEL_TYPES),
+)
+funnel_users = st.lists(
+    st.lists(funnel_event, min_size=0, max_size=10), min_size=1, max_size=12
+)
+
+
+def _mirror_funnel(events):
+    """Imperative mirror: walk events in (ts, event_id) order; first
+    view, first click strictly after it, first purchase strictly
+    after that click."""
+    t_view = t_click = t_purchase = None
+    for ts, _eid, et in sorted(events):
+        if et == "view" and t_view is None:
+            t_view = ts
+        if et == "click" and t_click is None and t_view is not None and ts > t_view:
+            t_click = ts
+        if (
+            et == "purchase"
+            and t_purchase is None
+            and t_click is not None
+            and ts > t_click
+        ):
+            t_purchase = ts
+    return t_view, t_click, t_purchase
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(funnel_users)
+def test_funnel_stages_match_imperative_walk(spark, users):
+    """The stacked running-min window formulation must equal a literal
+    ordered walk for every user — including purchases that precede
+    their qualifying click (which must NOT count)."""
+    from datetime import datetime, timedelta
+
+    from iceberg_aws_event_based_table_management_spark.queries.aggregates import (
+        funnel_stage_times,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, evs in enumerate(users):
+        for ts_off, et in evs:
+            rows.append((uid, eid, base + timedelta(minutes=ts_off), et))
+            eid += 1
+    if not rows:
+        rows = [(0, 0, base, "other")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in funnel_stage_times(df).collect()
+    }
+    per_user: dict[int, list] = {}
+    for uid, eid_, ts, et in rows:
+        per_user.setdefault(uid, []).append((ts, eid_, et))
+    for uid, evs in per_user.items():
+        assert got[uid] == _mirror_funnel(evs), (uid, sorted(evs))
+
+
+seg_word = st.sampled_from(["a", "b", "c"])  # tiny alphabet -> forced collisions
+seg_doc = st.lists(seg_word, min_size=1, max_size=12)
+seg_corpus = st.lists(seg_doc, min_size=1, max_size=10)
+
+
+def _mirror_segment_dedup(docs, seg_words):
+    """Imperative mirror: first occurrence of each segment string in
+    (doc_id, seg_no) order survives; later instances are duplicates."""
+    seen = set()
+    out = {}
+    for doc_id, words in enumerate(docs):
+        segs = [
+            " ".join(words[i : i + seg_words])
+            for i in range(0, len(words), seg_words)
+        ]
+        n_dup = 0
+        for seg in segs:
+            if seg in seen:
+                n_dup += 1
+            else:
+                seen.add(seg)
+        out[doc_id] = (len(segs), n_dup, round(n_dup / len(segs), 6))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(seg_corpus, st.sampled_from([2, 3]))
+def test_segment_dedup_matches_first_occurrence_walk(spark, docs, seg_words):
+    """segment_dedup_stats must equal the literal first-occurrence scan
+    on randomized corpora with heavy forced collisions, for multiple
+    segment widths (the fixture only exercises 16)."""
+    from iceberg_aws_event_based_table_management_spark.operators.dedup import (
+        segment_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup_segments, r.dup_fraction)
+        for r in segment_dedup_stats(df, seg_words=seg_words).collect()
+    }
+    assert got == _mirror_segment_dedup(docs, seg_words)
