@@ -57,6 +57,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "text_boilerplate_ngrams",
     "quantile_histogram_sketch",
+    # round-5 new operators (E64-E74 representatives)
+    "dedup_semantic_semdedup",
+    "dedup_segment_windows",
+    "text_quality_classifier",
+    "event_funnel_conversion",
 ]
 
 

@@ -858,3 +858,50 @@ def event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+@register(
+    "rolling_active_users",
+    tier="C",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    obs AS (SELECT DISTINCT d FROM a)
+    SELECT o.d AS obs_day,
+           COUNT(DISTINCT CASE WHEN a.d = o.d THEN a.user_id END) AS dau,
+           COUNT(DISTINCT a.user_id) AS wau
+    FROM obs o JOIN a ON a.d BETWEEN o.d - INTERVAL 6 DAY AND o.d
+    GROUP BY o.d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E75 — rolling DAU/WAU: per observation day, distinct users
+    active that day and in the trailing 7 days.  Sliding DISTINCT
+    counts don't decompose into window functions (you can't subtract
+    users leaving the window), so the standard shape is a range join
+    of the per-(user, day) activity set against the day spine.
+
+    Scale shape: activity collapses to DISTINCT (user_id, day) FIRST
+    — the event log is touched once and reduced by orders of
+    magnitude; the day spine is ~days rows and BROADCASTS, so the
+    7-day range join is a map-side nested loop over a tiny build side
+    (never day x events); the final distinct-count shuffles the
+    activity set once on the observation day."""
+    a = (
+        io.table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    obs = a.select("d").distinct().select(F.col("d").alias("obs_day"))
+    joined = a.join(
+        F.broadcast(obs),
+        (F.col("d") >= F.date_sub(F.col("obs_day"), 6))
+        & (F.col("d") <= F.col("obs_day")),
+    )
+    return joined.groupBy("obs_day").agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("obs_day"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct("user_id").alias("wau"),
+    )

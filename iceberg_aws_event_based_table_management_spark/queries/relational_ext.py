@@ -504,3 +504,62 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "o_custkey", "o_orderkey", "v", F.round(interp, 6).alias("v_interp")
     )
+
+
+def _key_skew(df: DataFrame, key: str) -> DataFrame:
+    counts = df.groupBy(key).agg(F.count("*").alias("c"))
+    summary = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        F.round(F.sum("c").cast("double") / F.count("*"), 6).alias("avg_key_rows"),
+        F.round(
+            F.max("c").cast("double") / (F.sum("c").cast("double") / F.count("*")), 6
+        ).alias("skew_ratio"),
+    )
+    return summary.select(F.lit(key).alias("key_column"), "*")
+
+
+_SKEW_SQL = """
+      SELECT '{key}' AS key_column,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows,
+             ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS avg_key_rows,
+             ROUND(CAST(MAX(c) AS DOUBLE)
+                   / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6) AS skew_ratio
+      FROM (SELECT {key}, COUNT(*) AS c FROM {rel} GROUP BY {key})
+"""
+
+
+@register(
+    "join_key_skew_diagnosis",
+    tier="C",
+    oracle=f"""
+    {_SKEW_SQL.format(key="l_orderkey", rel="lineitem")}
+    UNION ALL
+    {_SKEW_SQL.format(key="l_suppkey", rel="lineitem")}
+    UNION ALL
+    {_SKEW_SQL.format(key="o_custkey", rel="orders")}
+    """,
+)
+def join_key_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E76 — join-key skew diagnosis: per candidate join/agg key, row
+    counts, key cardinality, the heaviest key's row count, and the
+    skew ratio (max/avg rows per key) — the report that decides
+    whether a key needs salting (operators/skew.py two-stage agg) or
+    an AQE skew-join hint BEFORE a 100 TB join hits one straggler
+    partition.
+
+    Scale shape: one count-per-key agg per diagnosed key (partial
+    aggs combine map-side — the heavy key never concentrates raw rows
+    anywhere); the summary is a single-row reduction per key.  The
+    diagnosis costs what one shuffle of key-count pairs costs,
+    orders of magnitude below the join it de-risks."""
+    li = io.table(spark, sf_dir, "lineitem")
+    o = io.table(spark, sf_dir, "orders")
+    return (
+        _key_skew(li, "l_orderkey")
+        .unionByName(_key_skew(li, "l_suppkey"))
+        .unionByName(_key_skew(o, "o_custkey"))
+    )

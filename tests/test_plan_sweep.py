@@ -53,6 +53,7 @@ NESTED_LOOP_OK = {
     "kmeans_assign_step",  # E53: k-row centroid relation broadcast by hint
     "dedup_semantic_semdedup",  # E64: same k-row centroid broadcast as E53
     "ann_recall_audit",  # E68: 1-row query-vector relation (bruteforce side)
+    "rolling_active_users",  # E75: ~days-row day spine broadcast into the range join
     "wap_publish_gate",  # E55: 1-row count aggregates broadcast
     "corpus_term_drift",  # E57: 1-row share-totals relation broadcast
     "quantile_histogram_sketch",  # E62: 3-row quantile-target relation broadcast into ~120-bin cumulative

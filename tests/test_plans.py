@@ -311,3 +311,16 @@ def test_pipeline_ext2_more_plan_shapes(spark, sf_dir, qmap):
     # decile sampling: per-lang window, no global range partition
     plan = _plan(qmap["sample_quality_deciles"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_runs_on_one_exchange(spark, sf_dir, qmap):
+    """E72's whole funnel — two stacked running-min windows, the
+    per-user agg, and the final rollup — must plan exactly ONE data
+    exchange and ONE sort: the windows share a (user_id; ts,event_id)
+    sort and everything downstream rides that partitioning."""
+    plan = _plan(qmap["event_funnel_conversion"](spark, sf_dir))
+    n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_ex == 1, plan
+    assert plan.count("Sort [") == 1, plan

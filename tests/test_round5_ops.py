@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-5 operators (E64-E74): SemDeDup,
+"""Semantic invariants for the round-5 operators (E64-E76): SemDeDup,
 segment-level dedup, inter-doc n-gram coverage, the stream-stream
 interval join, the ANN recall audit, the hashed linear classifier,
 the cross-source contamination matrix, and the event-analytics trio
@@ -239,3 +239,30 @@ def test_file_skipping_estimate_partitions_files(spark, sf_dir, qmap):
         assert r.rows_scanned >= 0
         assert abs(r.skip_fraction - r.n_skipped / r.n_files) < 1e-6
     assert any(r.n_skipped > 0 for r in rows)
+
+
+def test_rolling_actives_wau_bounds_dau(spark, sf_dir, qmap):
+    """E75 contract: WAU >= DAU per day, and WAU never exceeds the
+    total distinct-user population."""
+    rows = qmap["rolling_active_users"](spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        io.table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert r.dau >= 1  # observation days come FROM activity days
+        assert r.wau >= r.dau
+        assert r.wau <= n_users
+
+
+def test_skew_diagnosis_internal_consistency(spark, sf_dir, qmap):
+    """E76 contract: max >= avg (so skew_ratio >= 1), n_rows matches
+    the table, and every diagnosed key appears once."""
+    rows = {r.key_column: r for r in qmap["join_key_skew_diagnosis"](spark, sf_dir).collect()}
+    assert set(rows) == {"l_orderkey", "l_suppkey", "o_custkey"}
+    n_li = io.table(spark, sf_dir, "lineitem").count()
+    assert rows["l_orderkey"].n_rows == n_li == rows["l_suppkey"].n_rows
+    for r in rows.values():
+        assert r.max_key_rows >= r.avg_key_rows
+        assert r.skew_ratio >= 1.0
+        assert r.n_keys <= r.n_rows
