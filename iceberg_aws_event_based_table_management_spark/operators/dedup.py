@@ -93,19 +93,17 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: hash each band of the signature; docs sharing any
-    (band_id, band_hash) bucket become candidate pairs.  The bucket
-    equi-join is the scale move — candidates ~ true near-dups, not n^2.
-    The banded table feeds both join sides, so it is localCheckpoint'ed
-    once (doc_count x bands rows of three longs — small) instead of
-    re-running the signature aggregation per side; at production scale
-    this is exactly the persistable band INDEX the incremental
-    admission path (E63) keeps between batches."""
+    """The LSH band INDEX: (doc_id, band_id, band_hash), one row per
+    doc per band — three longs, doc_count x bands rows.  This is the
+    table a production pipeline PERSISTS between batches (bucketed on
+    (band_id, band_hash)) so incremental admission only ever computes
+    signatures for the new batch; locked by
+    tests/test_dedup_similarity.py round-tripping it through parquet."""
     assert bands * rows_per_band <= 64
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -126,7 +124,21 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash").localCheckpoint(eager=False)
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing any
+    (band_id, band_hash) bucket become candidate pairs.  The bucket
+    equi-join is the scale move — candidates ~ true near-dups, not n^2.
+    The banded table feeds both join sides, so it is localCheckpoint'ed
+    once (doc_count x bands rows of three longs — small) instead of
+    re-running the signature aggregation per side; at production scale
+    this is exactly the persistable band INDEX (band_table) the
+    incremental admission path (E63) keeps between batches."""
+    banded = band_table(signatures, bands, rows_per_band).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
