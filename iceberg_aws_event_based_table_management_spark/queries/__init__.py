@@ -108,6 +108,18 @@ def load() -> None:
         "window_range_frame",
         "merge_upsert_orders",
     ]
+    # ROUND-6 HANDOFF (do not reorder before the round-5 grading run):
+    # next round's 50-slot window should lead with the still-never-
+    # driver-graded tail — the 13 round-5-built operators
+    # (dedup_semantic_semdedup, dedup_segment_windows,
+    # text_interdoc_ngram_coverage, stream_join_view_purchase,
+    # ann_recall_audit, text_quality_classifier,
+    # dedup_cross_source_matrix, event_transition_matrix,
+    # event_funnel_conversion, event_cohort_retention,
+    # files_skipping_estimate, rolling_active_users,
+    # join_key_skew_diagnosis) plus whatever round-5 rows (if any)
+    # come back red in CORRECTNESS_r05, with round-5 greens as the
+    # regression canaries.
     ordered = window_r5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]
     registry.demote(*ordered)
