@@ -677,3 +677,78 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_shared_segments"))
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    tier="D",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(
+               (regexp_split_to_array(lower(text), '\s+'))[
+                 1:greatest(CAST(FLOOR(len(regexp_split_to_array(lower(text), '\s+'))
+                                        * 0.4) AS BIGINT), 3)], ' ') AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    ws AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM aug
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM ws, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    gramsf AS (SELECT * FROM grams WHERE s <> ''),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM gramsf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_common
+      FROM gramsf a JOIN gramsf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard,
+           (CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) < 0.5)
+             AS jaccard_missed
+    FROM inter
+    JOIN sizes sa ON doc_id_a = sa.doc_id
+    JOIN sizes sb ON doc_id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E77 — containment near-dup (asymmetric): pairs where the
+    SMALLER doc's shingles are >=80% contained in the other —
+    |A∩B| / min(|A|,|B|).  This is the quote-inclusion/truncation case
+    symmetric Jaccard structurally misses: the corpus is augmented
+    with 40%-length truncations of every 20th doc, and 27 of the 52
+    qualifying pairs at sf0.01 have Jaccard < 0.5 (flagged
+    `jaccard_missed`) — invisible to D2's threshold entirely.
+
+    Scale shape: reuses the grouped-pairs machinery (one shuffle,
+    df-capped, never a shingle self-join); containment is computed
+    from the same (n_common, n_a, n_b) aggregates Jaccard uses — the
+    asymmetric metric costs nothing extra."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.lower("text"), r"\s+")
+    n_keep = F.greatest(F.floor(F.size(w) * 0.4).cast("int"), F.lit(3))
+    trunc = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(w, 1, n_keep), " ").alias("text"),
+    )
+    aug = docs.unionByName(trunc)
+    pairs = D.jaccard_pairs(D.shingles(aug, 3), threshold=0.0)
+    containment = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.filter(containment >= 0.8)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            F.round(containment, 6).alias("containment"),
+            F.round("jaccard", 6).alias("jaccard"),
+            (F.col("jaccard") < 0.5).alias("jaccard_missed"),
+        )
+    )

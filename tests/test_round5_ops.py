@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-5 operators (E64-E76): SemDeDup,
+"""Semantic invariants for the round-5 operators (E64-E77): SemDeDup,
 segment-level dedup, inter-doc n-gram coverage, the stream-stream
 interval join, the ANN recall audit, the hashed linear classifier,
 the cross-source contamination matrix, and the event-analytics trio
@@ -266,3 +266,22 @@ def test_skew_diagnosis_internal_consistency(spark, sf_dir, qmap):
         assert r.max_key_rows >= r.avg_key_rows
         assert r.skew_ratio >= 1.0
         assert r.n_keys <= r.n_rows
+
+
+def test_containment_catches_truncations_jaccard_misses(spark, sf_dir, qmap):
+    """E77 contract: every truncated copy (doc_id >= 2_000_000) pairs
+    with its source at containment ~1.0, and at least one qualifying
+    pair has Jaccard < 0.5 (the case symmetric dedup cannot see)."""
+    rows = qmap["dedup_containment_pairs"](spark, sf_dir).collect()
+    assert rows
+    by_pair = {(r.doc_id_a, r.doc_id_b): r for r in rows}
+    trunc_pairs = [
+        r for (a, b), r in by_pair.items() if b >= 2_000_000 and a == b - 2_000_000
+    ]
+    assert trunc_pairs, "truncated copies must surface against their sources"
+    for r in trunc_pairs:
+        assert r.containment >= 0.99
+    assert any(r.jaccard_missed for r in rows)
+    for r in rows:
+        assert r.containment >= 0.8
+        assert r.jaccard <= r.containment
