@@ -378,3 +378,67 @@ def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "stream_static_enrichment",
+    tier="C",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             COUNT(*) AS lifetime_events,
+             MIN(ts) AS first_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           d.lifetime_events, d.first_seen,
+           (e.ts = d.first_seen) AS is_first_event
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E78 (real streaming, SQL oracle): stream-static join — the
+    dimension-enrichment pattern every production stream runs (stream
+    side: purchases; static side: a per-user profile table).  The
+    static side is a BATCH DataFrame joined into the stream: Spark
+    re-plans it per micro-batch, no state store involved (unlike the
+    stream-stream join E67), which is exactly why it's the first
+    choice when one side is a table.
+
+    Exactness: the static profile is computed from the full fixture
+    (what a profile table IS — state as of query start), so every
+    micro-batch joins against the same dim and the union of outputs
+    equals the batch join — no watermark, no ordering sensitivity.
+
+    Scale: the dim here is per-user rows — broadcast-joined into each
+    micro-batch; a 10^9-row dim switches to a shuffle-hash join per
+    batch or a state-store-backed stream-stream formulation."""
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir(spark, sf_dir, tmp)
+        dim = (
+            io.table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("lifetime_events"),
+                F.min("ts").alias("first_seen"),
+            )
+        )
+        stream = (
+            replay.read_stream(spark, path, 2)
+            .filter(F.col("event_type") == "purchase")
+            .join(F.broadcast(dim), "user_id")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "lifetime_events",
+                "first_seen",
+                (F.col("ts") == F.col("first_seen")).alias("is_first_event"),
+            )
+        )
+        out = replay.run_to_memory(
+            stream, f"enrich_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)

@@ -1,4 +1,4 @@
-"""Semantic invariants for the round-5 operators (E64-E77): SemDeDup,
+"""Semantic invariants for the round-5 operators (E64-E78): SemDeDup,
 segment-level dedup, inter-doc n-gram coverage, the stream-stream
 interval join, the ANN recall audit, the hashed linear classifier,
 the cross-source contamination matrix, and the event-analytics trio
@@ -285,3 +285,20 @@ def test_containment_catches_truncations_jaccard_misses(spark, sf_dir, qmap):
     for r in rows:
         assert r.containment >= 0.8
         assert r.jaccard <= r.containment
+
+
+def test_stream_static_enrichment_equals_batch_join(spark, sf_dir, qmap):
+    """E78 contract: the per-micro-batch static join's union equals
+    the batch join, and the is_first_event flag marks exactly one
+    event per user with purchases at their global first-seen ts
+    (or zero if their first event wasn't a purchase)."""
+    rows = qmap["stream_static_enrichment"](spark, sf_dir).collect()
+    assert rows
+    ev = io.table(spark, sf_dir, "events")
+    n_purchases = ev.filter("event_type = 'purchase'").count()
+    assert len(rows) == n_purchases
+    firsts = [r for r in rows if r.is_first_event]
+    by_user: dict[int, int] = {}
+    for r in firsts:
+        by_user[r.user_id] = by_user.get(r.user_id, 0) + 1
+    assert all(v == 1 for v in by_user.values())
