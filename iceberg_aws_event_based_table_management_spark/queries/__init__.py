@@ -35,6 +35,7 @@ def load() -> None:
         streaming_batch,
         pipeline_ext,
         pipeline_ext2,
+        pipeline_ext3,
         aggregates,
         composite,
         control_plane,
@@ -110,16 +111,22 @@ def load() -> None:
     ]
     # ROUND-6 HANDOFF (do not reorder before the round-5 grading run):
     # next round's 50-slot window should lead with the still-never-
-    # driver-graded tail — the 13 round-5-built operators
+    # driver-graded tail — the round-5-built operators
     # (dedup_semantic_semdedup, dedup_segment_windows,
     # text_interdoc_ngram_coverage, stream_join_view_purchase,
     # ann_recall_audit, text_quality_classifier,
     # dedup_cross_source_matrix, event_transition_matrix,
     # event_funnel_conversion, event_cohort_retention,
     # files_skipping_estimate, rolling_active_users,
-    # join_key_skew_diagnosis) plus whatever round-5 rows (if any)
-    # come back red in CORRECTNESS_r05, with round-5 greens as the
-    # regression canaries.
+    # join_key_skew_diagnosis, dedup_containment_pairs,
+    # stream_static_enrichment, plus the E79-E85 batch:
+    # sample_weighted_reservoir, sketch_heavy_hitters_cms,
+    # event_path_signatures, text_char_entropy_filter,
+    # source_length_gini, event_cooccurrence_pmi,
+    # event_interarrival_stats — and any E86+ built after this note)
+    # plus whatever round-5 rows (if any) come back red in
+    # CORRECTNESS_r05, with round-5 greens as the regression
+    # canaries.
     ordered = window_r5
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]
     registry.demote(*ordered)

@@ -1,0 +1,494 @@
+"""Tier D (part 4) — training-data-pipeline extensions (SURVEY.md
+SS2-E E79-E85).
+
+Third batch of LLM-corpus / event-analytics operators: deterministic
+weighted reservoir sampling (the Efraimidis-Spirakis one-pass scheme
+every distributed sampler is built on), count-min-sketch heavy-hitter
+estimation with an exact overcount audit, per-user event-path
+signatures, character-entropy quality filtering, per-source length
+Gini concentration, event-type co-occurrence PMI, and inter-arrival
+time percentiles.
+
+All built-in-function formulations (no Python UDFs); every query
+carries an exact DuckDB oracle.  Engine-neutral hashing reuses
+operators/dedup.neutral_word_hash (md5-derived, 60-bit) so DuckDB
+reproduces every hash bit and every hash-derived uniform exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..operators.dedup import neutral_word_hash
+from ..registry import register
+
+# DuckDB mirror of operators/dedup.neutral_word_hash(col) — same
+# expression the SimHash / classifier oracles use (dedup.py:164).
+_NEUTRAL_HASH = (
+    "CAST(list_reduce(string_split('0' || substr(md5({col}), 1, 15), ''),"
+    " (acc, c) -> CAST(acc AS BIGINT) * 16"
+    " + strpos('0123456789abcdef', c) - 1) AS BIGINT)"
+)
+
+_TWO60 = float(2**60)
+
+
+@register(
+    "sample_weighted_reservoir",
+    tier="D",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln(({_NEUTRAL_HASH.format(col="CAST(doc_id AS VARCHAR) || ':wrs'")} + 1)
+                / {_TWO60!r}) / n_chars AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT source, doc_id, sample_rank FROM ranked WHERE sample_rank <= 5
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E79: deterministic weighted reservoir sample — 5 docs per
+    source, inclusion probability proportional to n_chars, via the
+    Efraimidis-Spirakis one-pass scheme: key = ln(u)/w with u a
+    hash-derived uniform in (0,1], keep the k largest keys per group.
+    Seeding u from the engine-neutral md5 hash of doc_id makes the
+    sample reproducible across engines AND across reruns — the
+    property a training-data sampler needs for auditability (the
+    reference's Athena-submitted jobs get the same from Athena's
+    deterministic TABLESAMPLE seeds).
+
+    Scale shape: the key is a map-side expression (no shuffle to draw
+    the sample); selection is ONE window partitioned by source —
+    exactly the top-k-per-group shape (C30).  A true 100 TB reservoir
+    keeps per-partition heaps of size k and merges them (aggregate
+    partials), which this window form degrades to automatically under
+    AQE; nothing is quadratic and the text column never moves.
+    ln() ranks only — the output is integer ranks, so a 1-ulp libm
+    disagreement between engines cannot surface unless two keys are
+    within it (keys are spread ~1e-3 apart on this fixture)."""
+    docs = io.table(spark, sf_dir, "documents")
+    u = (neutral_word_hash(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))) + 1) / F.lit(_TWO60)
+    keyed = docs.select(
+        "source", "doc_id", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("source", "doc_id", "sample_rank")
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_PHI_DEN = 200  # heavy hitter: exact count > corpus_tokens / 200
+
+
+@register(
+    "sketch_heavy_hitters_cms",
+    tier="D",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tok AS (SELECT token FROM toks WHERE token <> ''),
+    exact AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token),
+    total AS (SELECT COUNT(*) AS n FROM tok),
+    cells AS (
+      SELECT r,
+             {_NEUTRAL_HASH.format(col="'r' || r || ':' || token")} % {_CMS_WIDTH} AS bucket,
+             COUNT(*) AS cnt
+      FROM tok CROSS JOIN UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
+      GROUP BY 1, 2
+    ),
+    hh AS (
+      SELECT e.token, e.exact_cnt FROM exact e CROSS JOIN total t
+      WHERE e.exact_cnt * {_CMS_PHI_DEN} > t.n
+    ),
+    est AS (
+      SELECT h.token, h.exact_cnt, MIN(c.cnt) AS cms_cnt
+      FROM hh h
+      CROSS JOIN UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
+      JOIN cells c
+        ON c.r = t.r
+       AND c.bucket = {_NEUTRAL_HASH.format(col="'r' || t.r || ':' || h.token")} % {_CMS_WIDTH}
+      GROUP BY h.token, h.exact_cnt
+    )
+    SELECT token, exact_cnt, cms_cnt, cms_cnt - exact_cnt AS overcount
+    FROM est
+    """,
+)
+def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E80: count-min-sketch heavy hitters with an exact audit — a
+    depth-4 x width-512 CMS over the corpus token stream (Cormode &
+    Muthukrishnan 2005), queried for every phi-heavy hitter (exact
+    count > N/200) and compared cell-for-cell against exact counts.
+    The audit quantifies the sketch's one-sided error (overcount >= 0
+    always) before the sketch replaces exact counting at scale; row
+    hashes derive from the engine-neutral md5 hash so DuckDB builds
+    the bit-identical sketch.
+
+    Scale shape: the sketch is the point — counters are a FIXED
+    depth x width = 2048-cell grid, so the groupBy partial-aggregates
+    map-side into at most 2048 cells per task regardless of corpus
+    size (this is why CMS exists); the heavy-hitter threshold arrives
+    via a 1-row total relation (broadcast, never a driver constant);
+    the audit join probes the 2048-cell grid (broadcast).  At 100 TB
+    the exact-count side is the expensive anchor the sketch replaces —
+    here it doubles as the oracle."""
+    toks = (
+        io.table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    rows = F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
+
+    def bucket(r, token):
+        return neutral_word_hash(F.concat(F.lit("r"), r.cast("string"), F.lit(":"), token)) % _CMS_WIDTH
+
+    cells = (
+        toks.select(F.explode(rows).alias("r"), "token")
+        .groupBy("r", bucket(F.col("r"), F.col("token")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    total = toks.agg(F.count("*").alias("n"))
+    hh = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_cnt") * _CMS_PHI_DEN > F.col("n"))
+        .select("token", "exact_cnt")
+    )
+    probes = hh.select(
+        "token", "exact_cnt", F.explode(rows).alias("r")
+    ).withColumn("bucket", bucket(F.col("r"), F.col("token")))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_cnt"))
+    )
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+@register(
+    "event_path_signatures",
+    tier="D",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def event_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E81: behavioral path signatures — each user's first five event
+    types (ordered by ts with event_id tiebreak) joined into a '>'
+    path string, then the 20 most common paths.  The clickstream
+    fingerprint used for funnel design and bot cohort detection; the
+    ordered-prefix shape is what the reference's commit-kind sequences
+    (append > append > replace ...) reduce to per table.
+
+    Scale shape: ONE exchange on user_id serves both the ordering
+    window and the per-user path assembly (same partitioning, Catalyst
+    reuses it); paths collapse to a histogram via hash agg with
+    map-side partials; top-20 is TakeOrderedAndProject (local heaps,
+    never a global sort of the path histogram)."""
+    ev = io.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "text_char_entropy_filter",
+    tier="D",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    folded AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
+             list_sort(list(CAST(cnt AS DOUBLE))) AS cs
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted,
+           ROUND(log2(CAST(n_chars_counted AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                               (acc, c) -> acc + c * log2(c))
+                   / n_chars_counted, 6) AS entropy,
+           (log2(CAST(n_chars_counted AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                               (acc, c) -> acc + c * log2(c))
+                   / n_chars_counted) >= 3.0 AS keep
+    FROM folded
+    """,
+)
+def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E82: character-entropy quality filter — per-doc Shannon entropy
+    (bits/char) of the lowercased character distribution, with a
+    keep flag at 3.0 bits.  Low-entropy docs are repeated-character /
+    template junk, high-entropy ones are random noise or binary spill
+    — the cheap screen that runs before any model-scored filter (same
+    family as the Gopher/C4 heuristics in E30).
+
+    Scale shape: char histogram = one hash agg on (doc_id, ch) —
+    alphabet-bounded fan-in, partials combine map-side; the entropy
+    fold uses H = log2(n) - (sum c*log2 c)/n over the per-doc count
+    list SORTED before folding, so both engines execute the identical
+    IEEE operation sequence (a float sum in shuffle order would be
+    run-to-run nondeterministic); text never shuffles, only (doc_id,
+    ch, cnt) triples do."""
+    chars = (
+        io.table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    folded = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars_counted"),
+        F.array_sort(F.collect_list(F.col("cnt").cast("double"))).alias("cs"),
+    )
+    sum_clog2c = F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + c * F.log2(c),
+    )
+    entropy = (
+        F.log2(F.col("n_chars_counted").cast("double"))
+        - sum_clog2c / F.col("n_chars_counted")
+    )
+    return folded.select(
+        "doc_id",
+        "n_chars_counted",
+        F.round(entropy, 6).alias("entropy"),
+        (entropy >= 3.0).alias("keep"),
+    )
+
+
+@register(
+    "source_length_gini",
+    tier="D",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(2 * SUM(rn * n_chars) AS DOUBLE)
+                   / (COUNT(*) * SUM(n_chars))
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E83: per-source document-length concentration — the Gini
+    coefficient of n_chars within each source, from the sorted-rank
+    identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n.  A source whose
+    token mass concentrates in a few giant docs (high Gini) skews
+    mixture weights (E23) and shard balance (E21); this is the audit
+    that flags it.
+
+    Scale shape: one window partitioned by source ranks (n_chars,
+    doc_id) pairs — 16-byte metadata rows, text never moves; the rank
+    products sum as exact int64 (partials map-side), so the only
+    float math is two divisions on the final per-source row —
+    engine-exact under ROUND(...,6)."""
+    docs = io.table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            (2 * F.sum(F.col("rn") * F.col("n_chars"))).cast("double")
+            / (F.count("*") * F.sum("n_chars"))
+            - (F.count("*") + 1).cast("double") / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "event_cooccurrence_pmi",
+    tier="D",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    c AS (SELECT event_type, COUNT(*) AS n_t FROM a GROUP BY event_type),
+    sets AS (
+      SELECT user_id, list_sort(list(event_type)) AS ts FROM a GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT ts[i] AS type_a, ts[j] AS type_b, COUNT(*) AS n_users_both
+      FROM sets,
+           UNNEST(generate_series(1, len(ts))) AS ti(i),
+           UNNEST(generate_series(1, len(ts))) AS tj(j)
+      WHERE i < j
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_users_both,
+           ROUND(ln((CAST(p.n_users_both AS DOUBLE) * n.n_users)
+                    / (ca.n_t * cb.n_t)), 6) AS pmi
+    FROM pairs p
+    JOIN c ca ON ca.event_type = p.type_a
+    JOIN c cb ON cb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E84: event-type co-occurrence PMI — for each unordered pair of
+    event types, pointwise mutual information of "the same user does
+    both": ln(P(a,b) / (P(a)P(b))) over the distinct (user, type)
+    relation.  Positive PMI pairs are coupled behaviors (view+click),
+    negative ones are substitutes — the association mining step behind
+    funnel design (E72) and the transition matrix (E71).
+
+    Scale shape: grouped-pairs, NOT a self-join (the E70 pattern) —
+    each user's sorted type set emits its own pairs via a map-side
+    array transform, bounded by |event types| per user, so pair count
+    never exceeds users * |types|^2/2; type marginals are a
+    |types|-row broadcast and the user total a 1-row broadcast; the
+    PMI expression's operation order is written identically in both
+    engines (one multiply, one integer product, one divide, one ln)."""
+    ev = io.table(spark, sf_dir, "events")
+    a = ev.select("user_id", "event_type").distinct()
+    n = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    c = a.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    sets = a.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_type")).alias("ts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.greatest(F.size("ts") - i - 1, F.lit(1))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").alias("n_users_both"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_both",
+            F.round(
+                F.log(
+                    (F.col("n_users_both").cast("double") * F.col("n_users"))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    tier="D",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           quantile_cont(gap_us, 0.25) AS gap_q25,
+           quantile_cont(gap_us, 0.50) AS gap_q50,
+           quantile_cont(gap_us, 0.75) AS gap_q75,
+           CAST(MAX(gap_us) AS BIGINT) AS gap_max
+    FROM d WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E85: inter-arrival time distribution — per event type, exact
+    quartiles and max of the gap (microseconds) between consecutive
+    events of that type.  The arrival-process profile behind
+    commit-rate anomaly detection (E45) and watermark sizing (C43): a
+    p75 gap near the watermark delay means late-drop risk.
+
+    Scale shape: ONE exchange on event_type serves both the lag
+    window and the aggregation (Catalyst reuses the partitioning);
+    gaps are exact int64 microseconds, so quartile interpolation
+    (steps of .25 on integers) is exact binary floating point —
+    hash-stable across engines, the E8 argument.  Exact percentile is
+    sort-based per group; at 100 TB swap approx_percentile, keeping
+    this as the oracle anchor."""
+    ev = io.table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        (io.epoch_us("ts") - io.epoch_us(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return d.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.25D)").alias("gap_q25"),
+        F.expr("percentile(gap_us, 0.50D)").alias("gap_q50"),
+        F.expr("percentile(gap_us, 0.75D)").alias("gap_q75"),
+        F.max("gap_us").alias("gap_max"),
+    )

@@ -1,0 +1,129 @@
+"""Semantic invariants for the E79-E85 operators (value correctness
+is the oracle's job; these lock the *guarantees* each operator's
+contract promises)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import iceberg_aws_event_based_table_management_spark as engine
+from iceberg_aws_event_based_table_management_spark import io
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    engine.load_all_queries()
+    return engine.query_map()
+
+
+def test_reservoir_is_deterministic_and_bounded(spark, sf_dir, qmap):
+    """The sample is a function of the data alone: two runs agree row
+    for row, every source yields at most 5 docs, and ranks are the
+    contiguous prefix 1..k (the reservoir never skips a slot)."""
+    a = sorted(map(tuple, qmap["sample_weighted_reservoir"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, qmap["sample_weighted_reservoir"](spark, sf_dir).collect()))
+    assert a == b
+    by_source: dict[str, list[int]] = {}
+    for source, _doc, rank in a:
+        by_source.setdefault(source, []).append(rank)
+    for source, ranks in by_source.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), source
+        assert len(ranks) <= 5
+
+
+def test_reservoir_favors_heavy_docs(spark, sf_dir, qmap):
+    """Weighting by n_chars must pull the sample's mean length above
+    the corpus mean — the property that distinguishes weighted from
+    uniform reservoir sampling."""
+    docs = io.table(spark, sf_dir, "documents")
+    sampled_ids = [
+        r.doc_id for r in qmap["sample_weighted_reservoir"](spark, sf_dir).collect()
+    ]
+    lens = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    sample_mean = sum(lens[i] for i in sampled_ids) / len(sampled_ids)
+    corpus_mean = sum(lens.values()) / len(lens)
+    assert sample_mean > corpus_mean
+
+
+def test_cms_overcount_is_one_sided(spark, sf_dir, qmap):
+    """The count-min guarantee: estimates never undercount, and every
+    phi-heavy hitter the exact side finds is present."""
+    rows = qmap["sketch_heavy_hitters_cms"](spark, sf_dir).collect()
+    assert rows, "fixture corpus must contain phi-heavy tokens"
+    for r in rows:
+        assert r.cms_cnt >= r.exact_cnt, r
+        assert r.overcount == r.cms_cnt - r.exact_cnt
+
+
+def test_path_signatures_cover_only_real_types(spark, sf_dir, qmap):
+    """Paths are built from the event-type alphabet, are at most five
+    hops, and user counts sum to at most the distinct-user total."""
+    ev = io.table(spark, sf_dir, "events")
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    n_users = ev.select("user_id").distinct().count()
+    rows = qmap["event_path_signatures"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert sum(r.n_users for r in rows) <= n_users
+    for r in rows:
+        hops = r.path.split(">")
+        assert 1 <= len(hops) <= 5
+        assert set(hops) <= types
+
+
+def test_char_entropy_within_alphabet_bound(spark, sf_dir, qmap):
+    """Shannon entropy over an alphabet of a characters lies in
+    [0, log2(a)]; the keep flag mirrors the 3.0-bit threshold."""
+    rows = qmap["text_char_entropy_filter"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.entropy <= math.log2(max(r.n_chars_counted, 2)) + 1e-9
+        assert r.keep == (r.entropy >= 3.0) or abs(r.entropy - 3.0) < 1e-5
+
+
+def test_gini_bounds_and_totals(spark, sf_dir, qmap):
+    """Gini lies in [0, 1); per-source doc counts and char totals
+    reconcile with the raw table."""
+    docs = io.table(spark, sf_dir, "documents")
+    truth = {
+        r.source: (r.n, r.chars)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    for r in qmap["source_length_gini"](spark, sf_dir).collect():
+        assert 0.0 <= r.gini < 1.0, r
+        assert (r.n_docs, r.total_chars) == truth[r.source]
+
+
+def test_pmi_is_symmetric_input_order(spark, sf_dir, qmap):
+    """Pairs are emitted once in sorted order (type_a < type_b) and
+    co-occurrence never exceeds either marginal."""
+    ev = io.table(spark, sf_dir, "events")
+    marg = {
+        r.event_type: r.n
+        for r in ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in qmap["event_cooccurrence_pmi"](spark, sf_dir).collect():
+        assert r.type_a < r.type_b
+        assert r.n_users_both <= min(marg[r.type_a], marg[r.type_b])
+
+
+def test_interarrival_quartiles_are_ordered(spark, sf_dir, qmap):
+    """q25 <= q50 <= q75 <= max, gaps are non-negative (events sorted
+    by ts), and gap counts are n_events - 1 per type."""
+    ev = io.table(spark, sf_dir, "events")
+    per_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    rows = qmap["event_interarrival_stats"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(per_type)
+    for r in rows:
+        assert r.n_gaps == per_type[r.event_type] - 1
+        assert 0 <= r.gap_q25 <= r.gap_q50 <= r.gap_q75 <= r.gap_max

@@ -57,6 +57,8 @@ NESTED_LOOP_OK = {
     "wap_publish_gate",  # E55: 1-row count aggregates broadcast
     "corpus_term_drift",  # E57: 1-row share-totals relation broadcast
     "quantile_histogram_sketch",  # E62: 3-row quantile-target relation broadcast into ~120-bin cumulative
+    "sketch_heavy_hitters_cms",  # E80: 1-row corpus-token-total relation broadcast (phi threshold)
+    "event_cooccurrence_pmi",  # E84: 1-row distinct-user-total relation broadcast
 }
 
 # Global Sort without a following limit: legitimate only when the sort
