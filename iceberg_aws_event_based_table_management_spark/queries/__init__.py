@@ -123,7 +123,12 @@ def load() -> None:
     # sample_weighted_reservoir, sketch_heavy_hitters_cms,
     # event_path_signatures, text_char_entropy_filter,
     # source_length_gini, event_cooccurrence_pmi,
-    # event_interarrival_stats — and any E86+ built after this note)
+    # event_interarrival_stats, the E86-E90 batch:
+    # source_lang_mix_entropy, benford_first_digit_audit,
+    # source_length_zscore_outliers, vocab_oov_rate,
+    # linkage_blocked_nearest_name, the Q7/Q15 composites:
+    # composite_nation_trade_volume, composite_top_supplier —
+    # and any E91+ built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression
     # canaries.

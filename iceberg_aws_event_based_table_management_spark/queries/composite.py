@@ -150,3 +150,114 @@ def composite_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "composite_nation_trade_volume",
+    tier="C",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {_dec_sum_sql(_REV_SQL, 4)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+           OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def composite_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations, per
+    supplier-nation x customer-nation x ship-year.  Exercises the one
+    composite pattern the Q3/Q5/Q18 trio misses — the SAME dimension
+    (nation) joined twice under different roles, with a disjunctive
+    cross-role predicate.
+
+    Scale shape: both nation joins broadcast (25 rows each, distinct
+    aliases so Catalyst treats them as independent builds); the
+    nation-pair predicate semi-filters supplier and customer BEFORE
+    their fact joins (Catalyst pushes each disjunct's IN-set through
+    its own role), so the fact-fact l_orderkey/o_custkey shuffles
+    carry only the two nations' rows; the final agg is |pairs| x
+    |years| keys — metadata."""
+    li = io.table(spark, sf_dir, "lineitem")
+    orders = io.table(spark, sf_dir, "orders")
+    cust = io.table(spark, sf_dir, "customer")
+    supp = io.table(spark, sf_dir, "supplier")
+    sn = io.table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = io.table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dec_sum(_rev(), 4).alias("revenue"))
+    )
+
+
+@register(
+    "composite_top_supplier",
+    tier="C",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dec_sum_sql(_REV_SQL, 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, r.total_revenue
+    FROM supplier
+    JOIN revenue r ON s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def composite_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' (per-supplier quarter
+    revenue) consumed twice — once for its rows, once for its MAX —
+    returning EVERY supplier that attains the maximum (ties included,
+    which a top-1 LIMIT would silently drop).  The reference's Athena
+    path runs views exactly this way (EMRSparkUtil.java:36-40 ships
+    arbitrary multi-reference SQL).
+
+    Scale shape: revenue aggregates once and is reused for both
+    consumers (the exact dec_sum makes the MAX comparison safe —
+    float-summed revenue would make 'equals the max' partition-order-
+    dependent); the MAX arrives as a 1-row broadcast; the supplier
+    join shuffles only the |suppliers| aggregated rows, never
+    lineitem."""
+    li = io.table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(_rev(), 4).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = io.table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

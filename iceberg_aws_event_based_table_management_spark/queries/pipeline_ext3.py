@@ -1,13 +1,15 @@
 """Tier D (part 4) — training-data-pipeline extensions (SURVEY.md
-SS2-E E79-E85).
+SS2-E E79-E90).
 
 Third batch of LLM-corpus / event-analytics operators: deterministic
 weighted reservoir sampling (the Efraimidis-Spirakis one-pass scheme
 every distributed sampler is built on), count-min-sketch heavy-hitter
 estimation with an exact overcount audit, per-user event-path
 signatures, character-entropy quality filtering, per-source length
-Gini concentration, event-type co-occurrence PMI, and inter-arrival
-time percentiles.
+Gini concentration, event-type co-occurrence PMI, inter-arrival time
+percentiles, per-source language-mix entropy, a Benford first-digit
+audit, per-source length z-score outliers, vocabulary OOV rates, and
+blocked fuzzy record linkage.
 
 All built-in-function formulations (no Python UDFs); every query
 carries an exact DuckDB oracle.  Engine-neutral hashing reuses
@@ -491,4 +493,324 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.50D)").alias("gap_q50"),
         F.expr("percentile(gap_us, 0.75D)").alias("gap_q75"),
         F.max("gap_us").alias("gap_max"),
+    )
+
+
+@register(
+    "source_lang_mix_entropy",
+    tier="D",
+    oracle="""
+    WITH lc AS (
+      SELECT source, lang, COUNT(*) AS cnt
+      FROM documents GROUP BY source, lang
+    ),
+    folded AS (
+      SELECT source,
+             COUNT(*) AS n_langs,
+             CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             list_sort(list(CAST(cnt AS DOUBLE))) AS cs,
+             MAX(cnt) AS top_cnt
+      FROM lc GROUP BY source
+    ),
+    top AS (
+      SELECT source, lang AS top_lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, lang) AS rn
+      FROM lc
+    )
+    SELECT f.source, f.n_langs,
+           ROUND(log2(CAST(f.n_docs AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0 AS DOUBLE), f.cs),
+                               (acc, c) -> acc + c * log2(c))
+                   / f.n_docs, 6) AS lang_entropy,
+           t.top_lang,
+           ROUND(CAST(f.top_cnt AS DOUBLE) / f.n_docs, 6) AS top_share
+    FROM folded f JOIN top t ON t.source = f.source AND t.rn = 1
+    """,
+)
+def source_lang_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E86: per-source language-mix audit — Shannon entropy of the
+    language distribution, dominant language and its share.  A source
+    whose language entropy drifts between corpus versions signals a
+    crawler or classifier regression; the per-source diversity number
+    feeds the mixture design (E23) the way per-language token budgets
+    feed E28.
+
+    Scale shape: the (source, lang) histogram is one hash agg with
+    map-side partials (|sources| x |langs| keys — metadata); entropy
+    reuses the E82 sorted-fold so both engines execute the identical
+    IEEE sequence; the dominant language is a per-source window over
+    the same tiny histogram."""
+    lc = (
+        io.table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    folded = lc.groupBy("source").agg(
+        F.count("*").alias("n_langs"),
+        F.sum("cnt").alias("n_docs"),
+        F.array_sort(F.collect_list(F.col("cnt").cast("double"))).alias("cs"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    entropy = F.log2(F.col("n_docs").cast("double")) - F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda acc, c: acc + c * F.log2(c)
+    ) / F.col("n_docs")
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "lang")
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return folded.join(top, "source").select(
+        "source",
+        "n_langs",
+        F.round(entropy, 6).alias("lang_entropy"),
+        "top_lang",
+        F.round(F.col("top_cnt").cast("double") / F.col("n_docs"), 6).alias("top_share"),
+    )
+
+
+@register(
+    "benford_first_digit_audit",
+    tier="D",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events WHERE value > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents WHERE c > 0
+    ),
+    hist AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    total AS (SELECT COUNT(*) AS total FROM digits)
+    SELECT h.digit, h.n,
+           ROUND(CAST(h.n AS DOUBLE) / t.total, 6) AS share,
+           ROUND(ln(1.0 + 1.0 / h.digit) / ln(10.0), 6) AS benford_share
+    FROM hist h CROSS JOIN total t
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E87: Benford first-digit audit — the distribution of first
+    significant digits of the event value (in cents) against Benford's
+    law log10(1 + 1/d).  The classic synthetic-data / fraud screen: a
+    metric column whose digits are uniform where Benford predicts
+    ~30% ones was generated, not measured.  The first digit comes from
+    the integer cents' decimal string (engine-exact), never from
+    log10 of a double (whose rounding could misclassify values at
+    power-of-ten boundaries).
+
+    Scale shape: map-side digit extraction, one 9-key hash agg with
+    map-side partials, total via 1-row broadcast — a full-corpus audit
+    whose shuffle traffic is 9 rows."""
+    cents = (
+        io.table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(F.floor(F.col("value") * 100).cast("long").alias("c"))
+        .filter(F.col("c") > 0)
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    hist = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = digits.agg(F.count("*").alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6).alias(
+            "benford_share"
+        ),
+    )
+
+
+@register(
+    "source_length_zscore_outliers",
+    tier="D",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    )
+    SELECT d.source, d.doc_id, d.n_chars,
+           ROUND((CAST(d.n_chars AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                 / sqrt((CAST(st.n AS DOUBLE) * st.s2 - CAST(st.s AS DOUBLE) * st.s)
+                        / (CAST(st.n AS DOUBLE) * st.n)), 6) AS z
+    FROM documents d JOIN stats st ON st.source = d.source
+    WHERE abs((CAST(d.n_chars AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+              / sqrt((CAST(st.n AS DOUBLE) * st.s2 - CAST(st.s AS DOUBLE) * st.s)
+                     / (CAST(st.n AS DOUBLE) * st.n))) > 1.8
+    """,
+)
+def source_length_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88: per-source length outliers — docs whose n_chars z-score
+    within their source exceeds |1.8| (the fixture's lengths are
+    near-uniform, max |z| ~2.0; a production gate would sit at 3+),
+    the per-group analog of the
+    centroid-distance outlier screen (E33) for scalar features.  The
+    population moments come from EXACT integer sums (n, sum x, sum x^2
+    — never a float running mean), so mean and variance are single
+    fixed-order IEEE expressions and the z-score hashes identically in
+    both engines.
+
+    Scale shape: moments are one per-source hash agg (partials
+    map-side, int64-exact); the stats relation is |sources| rows and
+    BROADCASTS back onto the table — the corpus is scanned twice but
+    shuffled never.  (Int64 holds sum(x^2) to ~3e9 docs of 1e4 chars;
+    beyond that the docstring contract is to widen to DECIMAL(38).)"""
+    docs = io.table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("n").cast("double") * F.col("s2")
+        - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n").cast("double") * F.col("n"))
+    z = (F.col("n_chars").cast("double") - mean) / F.sqrt(var)
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .join(F.broadcast(stats), "source")
+        .filter(F.abs(z) > 1.8)
+        .select("source", "doc_id", "n_chars", F.round(z, 6).alias("z"))
+    )
+
+
+_OOV_VOCAB_K = 20  # fixture vocab is 31 tokens; production K is 1e5-ish
+
+
+@register(
+    "vocab_oov_rate",
+    tier="D",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    vocab AS (
+      SELECT token FROM tok
+      GROUP BY token
+      ORDER BY COUNT(*) DESC, token
+      LIMIT {_OOV_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E89: out-of-vocabulary rate — per-doc fraction of token
+    occurrences outside the corpus top-K vocabulary (count-desc,
+    token-asc cutoff, so the vocabulary edge is deterministic in both
+    engines; K=20 here because the synthetic corpus has only 31
+    distinct tokens — a real vocabulary is 1e5-ish and changes no
+    plan shape).  The tokenizer-coverage proxy: a doc with high OOV
+    against the pretraining vocabulary fragments into long byte-level
+    token sequences and burns budget (E24/E28's cost model).
+
+    Scale shape: vocabulary = one hash agg + TakeOrderedAndProject
+    (local heaps, no vocabulary-wide sort); the K-row vocab
+    BROADCASTS into a left join against the token stream; per-doc
+    rates are one hash agg on doc_id.  Against a FIXED production
+    vocabulary the first stage disappears entirely."""
+    toks = (
+        io.table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(_OOV_VOCAB_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "linkage_blocked_nearest_name",
+    tier="D",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_size, a.p_partkey AS part_a, b.p_partkey AS part_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    ),
+    best AS (
+      SELECT p_size, part_a, part_b, dist,
+             ROW_NUMBER() OVER (PARTITION BY p_size
+                                ORDER BY dist, part_a, part_b) AS rn
+      FROM pairs
+    )
+    SELECT p_size, part_a, part_b, dist FROM best WHERE rn = 1
+    """,
+)
+def linkage_blocked_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E90: blocked fuzzy record linkage — within each p_size block,
+    the single closest part-name pair by Levenshtein edit distance.
+    The entity-resolution primitive (catalog/SKU matching): blocking
+    keeps the candidate set quadratic only WITHIN blocks, then an edit
+    metric ranks candidates; both engines implement the identical
+    Wagner-Fischer distance, so ranks agree exactly.
+
+    Scale shape: the self-join is equi on the blocking key — a hash
+    join, never cartesian; pair count is sum of block-size^2, the
+    quantity the blocking key is CHOSEN to bound (the E76 skew
+    diagnosis is the audit that validates a proposed key).  At corpus
+    scale the block key tightens (brand+size) or candidates pre-filter
+    on q-gram overlap (the D2 LSH machinery) before the edit distance
+    runs; the argmin is a per-block window over pair metadata."""
+    p = io.table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    a = p.select(
+        "p_size",
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        "p_size",
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, "p_size")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select(
+            "p_size",
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("p_size").orderBy("dist", "part_a", "part_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_size", "part_a", "part_b", "dist")
     )

