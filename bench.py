@@ -62,6 +62,11 @@ HEADLINE = [
     "dedup_segment_windows",
     "text_quality_classifier",
     "event_funnel_conversion",
+    # round-5 late additions (E79-E94 representatives)
+    "sketch_heavy_hitters_cms",
+    "scd2_user_state_intervals",
+    "dq_expectations_report",
+    "linkage_blocked_nearest_name",
 ]
 
 

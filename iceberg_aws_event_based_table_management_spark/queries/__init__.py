@@ -127,8 +127,10 @@ def load() -> None:
     # source_lang_mix_entropy, benford_first_digit_audit,
     # source_length_zscore_outliers, vocab_oov_rate,
     # linkage_blocked_nearest_name, the Q7/Q15 composites:
-    # composite_nation_trade_volume, composite_top_supplier —
-    # and any E91+ built after this note)
+    # composite_nation_trade_volume, composite_top_supplier, the
+    # E91-E94 batch: equidepth_histogram, dq_expectations_report,
+    # scd2_user_state_intervals, event_disorder_audit — and any
+    # E95+ built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression
     # canaries.

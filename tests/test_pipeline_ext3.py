@@ -177,23 +177,27 @@ def test_oov_rate_accounting(spark, sf_dir, qmap):
 
 
 def test_linkage_one_best_pair_per_block(spark, sf_dir, qmap):
-    """Exactly one winning pair per p_size block, ordered keys, and
-    the reported distance is genuinely minimal for that block (spot
-    check the densest block imperatively)."""
+    """Exactly one winning pair per (p_brand, p_size) block, ordered
+    keys, and the reported distance is genuinely minimal for that
+    block (spot check one block imperatively)."""
     rows = qmap["linkage_blocked_nearest_name"](spark, sf_dir).collect()
-    sizes = [r.p_size for r in rows]
-    assert len(sizes) == len(set(sizes))
+    keys = [(r.p_brand, r.p_size) for r in rows]
+    assert len(keys) == len(set(keys))
     for r in rows:
         assert r.part_a < r.part_b and r.dist >= 0
     import itertools
 
     parts = (
         io.table(spark, sf_dir, "part")
-        .select("p_partkey", "p_name", "p_size")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
         .collect()
     )
-    block = rows[0].p_size
-    names = {p.p_partkey: p.p_name for p in parts if p.p_size == block}
+    block = (rows[0].p_brand, rows[0].p_size)
+    names = {
+        p.p_partkey: p.p_name
+        for p in parts
+        if (p.p_brand, p.p_size) == block
+    }
 
     def lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))
@@ -208,7 +212,7 @@ def test_linkage_one_best_pair_per_block(spark, sf_dir, qmap):
         (lev(names[x], names[y]), x, y)
         for x, y in itertools.combinations(sorted(names), 2)
     )
-    got = next(r for r in rows if r.p_size == block)
+    got = next(r for r in rows if (r.p_brand, r.p_size) == block)
     assert (got.dist, got.part_a, got.part_b) == best
 
 
@@ -219,3 +223,82 @@ def test_top_supplier_attains_max(spark, sf_dir, qmap):
     assert rows
     revs = {r.total_revenue for r in rows}
     assert len(revs) == 1
+
+
+def test_equidepth_buckets_partition_and_order(spark, sf_dir, qmap):
+    """Buckets 1..8 per source, sizes within one row of each other
+    (the NTILE guarantee), ranges non-overlapping in bucket order."""
+    rows = qmap["equidepth_histogram"](spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r.bucket)
+        assert [r.bucket for r in rs] == list(range(1, len(rs) + 1))
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1, source
+        for a, b in zip(rs, rs[1:]):
+            assert a.max_chars <= b.min_chars, (source, a, b)
+
+
+def test_dq_report_is_clean_on_fixture(spark, sf_dir, qmap):
+    """The TPC-H-ish fixture satisfies every expectation (0
+    violations) while row counts reconcile with the raw tables."""
+    rows = {r.check_name: r for r in qmap["dq_expectations_report"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "o_custkey_not_null",
+        "o_orderkey_unique",
+        "o_orderstatus_domain",
+        "o_totalprice_positive",
+        "l_quantity_in_1_50",
+        "l_orderkey_fk_orders",
+    }
+    n_orders = io.table(spark, sf_dir, "orders").count()
+    n_li = io.table(spark, sf_dir, "lineitem").count()
+    for r in rows.values():
+        assert r.n_violations == 0, r
+        assert r.n_rows == (n_orders if r.tbl == "orders" else n_li)
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir, qmap):
+    """Per user: segments are consecutively numbered from 1 (the
+    first row's change flag fires against a NULL lag), each
+    valid_to equals the next valid_from (no gaps, no overlaps), the
+    last interval is open, adjacent intervals change state, and event
+    counts reconcile."""
+    rows = qmap["scd2_user_state_intervals"](spark, sf_dir).collect()
+    n_events = io.table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in list(by_user.items())[:200]:
+        rs.sort(key=lambda r: r.segment_no)
+        assert [r.segment_no for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert a.event_type != b.event_type, (user, a, b)
+        assert rs[-1].valid_to is None
+
+
+def test_disorder_audit_matches_imperative_replay(spark, sf_dir, qmap):
+    """Recompute the high-water-mark lag imperatively for one event
+    type and compare n_late and the max."""
+    rows = {r.event_type: r for r in qmap["event_disorder_audit"](spark, sf_dir).collect()}
+    ev = (
+        io.table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts")
+        .collect()
+    )
+    etype = sorted(rows)[0]
+    seq = sorted((e.event_id, e.ts) for e in ev if e.event_type == etype)
+    hwm, n_late, mx = None, 0, 0
+    for _eid, ts in seq:
+        if hwm is not None and ts < hwm:
+            n_late += 1
+            mx = max(mx, int((hwm - ts).total_seconds() * 1_000_000))
+        hwm = ts if hwm is None or ts > hwm else hwm
+    got = rows[etype]
+    assert got.n_events == len(seq)
+    assert got.n_late == n_late
+    assert got.disorder_max_us == mx
