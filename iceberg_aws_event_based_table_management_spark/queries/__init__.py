@@ -129,8 +129,10 @@ def load() -> None:
     # linkage_blocked_nearest_name, the Q7/Q15 composites:
     # composite_nation_trade_volume, composite_top_supplier, the
     # E91-E94 batch: equidepth_histogram, dq_expectations_report,
-    # scd2_user_state_intervals, event_disorder_audit — and any
-    # E95+ built after this note)
+    # scd2_user_state_intervals, event_disorder_audit, and E95/E96:
+    # pagerank_integer_bipartite, twap_user_daily, and E97/E98:
+    # robust_mad_outliers, user_longest_streak — and anything
+    # built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression
     # canaries.

@@ -1,5 +1,5 @@
 """Tier D (part 4) — training-data-pipeline extensions (SURVEY.md
-SS2-E E79-E94).
+SS2-E E79-E98).
 
 Third batch of LLM-corpus / event-analytics operators: deterministic
 weighted reservoir sampling (the Efraimidis-Spirakis one-pass scheme
@@ -11,8 +11,10 @@ percentiles, per-source language-mix entropy, a Benford first-digit
 audit, per-source length z-score outliers, vocabulary OOV rates,
 blocked fuzzy record linkage, per-source equi-depth histograms, a
 declarative data-quality expectations report, SCD2 validity-interval
-construction, and an event-time disorder audit (the watermark-sizing
-query).
+construction, an event-time disorder audit (the watermark-sizing
+query), integer fixed-point PageRank (order-independent int64 mass
+movement over the co-trade graph), per-user-day TWAP, robust
+MAD outlier screening, and gaps-and-islands activity streaks.
 
 All built-in-function formulations (no Python UDFs); every query
 carries an exact DuckDB oracle.  Engine-neutral hashing reuses
@@ -1090,4 +1092,298 @@ def event_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("disorder_us") > 0, 1)).alias("n_late"),
         F.expr("percentile(disorder_us, 0.75D)").alias("disorder_q75"),
         F.max("disorder_us").alias("disorder_max_us"),
+    )
+
+
+_PR_SCALE = 1_000_000  # fixed-point rank unit
+_PR_ITERS = 3
+
+
+@register(
+    "pagerank_integer_bipartite",
+    tier="D",
+    oracle=f"""
+    WITH e AS (
+      SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
+             COUNT(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    ed AS (
+      SELECT src, dst, w FROM e
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM e
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM ed GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM ed),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes),
+    r1 AS (
+      SELECT n.node,
+             CAST({_PR_SCALE} * 15 // 100
+                  + 85 * COALESCE(SUM((r.rank * ed.w) // o.ow), 0) // 100
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN ed ON ed.dst = n.node
+      LEFT JOIN r0 r ON r.node = ed.src
+      LEFT JOIN outw o ON o.src = ed.src
+      GROUP BY n.node
+    ),
+    r2 AS (
+      SELECT n.node,
+             CAST({_PR_SCALE} * 15 // 100
+                  + 85 * COALESCE(SUM((r.rank * ed.w) // o.ow), 0) // 100
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN ed ON ed.dst = n.node
+      LEFT JOIN r1 r ON r.node = ed.src
+      LEFT JOIN outw o ON o.src = ed.src
+      GROUP BY n.node
+    ),
+    r3 AS (
+      SELECT n.node,
+             CAST({_PR_SCALE} * 15 // 100
+                  + 85 * COALESCE(SUM((r.rank * ed.w) // o.ow), 0) // 100
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN ed ON ed.dst = n.node
+      LEFT JOIN r2 r ON r.node = ed.src
+      LEFT JOIN outw o ON o.src = ed.src
+      GROUP BY n.node
+    )
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_type,
+           rank
+    FROM r3
+    """,
+)
+def pagerank_integer_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E95: integer fixed-point PageRank — 3 power iterations (d=0.85)
+    over the supplier<->customer co-trade graph (edge weight = line
+    items between them; both directions walked).  All rank mass moves
+    in FIXED-POINT int64 (rank unit = 1e6, per-edge contribution =
+    (rank*w) div out_weight, damping via integer 85/100), so the sum
+    of incoming contributions is order-independent — the property
+    float PageRank loses under parallel summation, and the reason this
+    formulation is exactly SQL-oracle-able.  Truncation loses < 1 unit
+    (1e-6 rank) per edge per iteration — bounded and deterministic.
+
+    Scale shape: the edge list builds once (one fact-fact join +
+    agg) and is localCheckpointed; each iteration is one broadcast-or-
+    shuffle join of ranks onto edges plus one agg on dst — the
+    standard Pregel-on-relations shape, 2 shuffles per iteration,
+    rank/edge tables only (never the fact tables).  Iterations are a
+    fixed unrolled count here; production runs until an integer
+    L1-delta threshold, same plan per round."""
+    li = io.table(spark, sf_dir, "lineitem")
+    orders = io.table(spark, sf_dir, "orders")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ed = e.unionAll(rev).localCheckpoint(eager=False)
+    outw = ed.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    edges = ed.join(outw, "src").localCheckpoint(eager=False)
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
+    base = _PR_SCALE * 15 // 100
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("(rank * w) div ow").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"85 * coalesce(inc, 0L) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "supplier").otherwise("customer").alias("node_type"),
+        "rank",
+    )
+
+
+@register(
+    "twap_user_daily",
+    tier="D",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT)
+               // 1000000 AS hold_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+           COUNT(*) AS n_obs,
+           CAST(SUM(hold_s) AS BIGINT) AS total_hold_s,
+           ROUND(CAST(SUM(cents * hold_s) AS DOUBLE) / SUM(hold_s) / 100.0,
+                 6) AS twap
+    FROM obs
+    WHERE hold_s IS NOT NULL AND hold_s > 0
+    GROUP BY user_id, day
+    """,
+)
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E96: time-weighted average value (TWAP) per user per day — each
+    observation weighted by how long it 'held' (seconds until the next
+    observation in the same user-day; the day's last observation has
+    no holding period and drops, as does a zero-second hold).  The
+    finance/metering aggregation that a plain AVG silently gets wrong
+    whenever sampling is irregular — exactly the commit-stream
+    condition E85 measures.
+
+    Scale shape: the lead window and the rollup share one (user_id,
+    day) exchange; weights are exact int64 seconds and values exact
+    int64 cents, so the weighted sum is an order-independent integer
+    (max term ~86400s x 2e5 cents = 1.7e10 — int64 headroom for ~5e8
+    observations per user-day); the only float math is one division
+    pair under ROUND."""
+    ev = io.table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    obs = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        ((io.epoch_us(F.lead("ts").over(w)) - io.epoch_us("ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("hold_s"),
+    ).filter(F.col("hold_s").isNotNull() & (F.col("hold_s") > 0))
+    return obs.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("hold_s").cast("long").alias("total_hold_s"),
+        F.round(
+            F.sum(F.col("cents") * F.col("hold_s")).cast("double")
+            / F.sum("hold_s")
+            / F.lit(100.0),
+            6,
+        ).alias("twap"),
+    )
+
+
+@register(
+    "robust_mad_outliers",
+    tier="D",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS m
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, d.doc_id, d.n_chars, med.m,
+             abs(d.n_chars - med.m) AS dv
+      FROM documents d JOIN med ON med.source = d.source
+    ),
+    mad AS (
+      SELECT source, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY source
+    )
+    SELECT dev.source, dev.doc_id, dev.n_chars,
+           ROUND(dev.dv, 1) AS abs_dev,
+           ROUND(mad.mad, 1) AS mad
+    FROM dev JOIN mad ON mad.source = dev.source
+    WHERE dev.dv > 2.9652 * mad.mad
+    """,
+)
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E97: robust (median/MAD) length outliers — docs whose absolute
+    deviation from their source's median n_chars exceeds 2 robust
+    sigmas (2 x 1.4826 = 2.9652 x MAD; the fixture's near-uniform
+    lengths max out at 4.4 MADs, so a production 3-sigma gate would
+    be empty here).  The robust complement of the
+    z-score screen (E88): mean/stddev move with the very outliers
+    they're meant to flag, median/MAD don't — the estimator of choice
+    when a source is ALREADY contaminated.  Medians interpolate at .5
+    on integers (and on the half-integer deviations), which is exact
+    in binary floating point, so both engines agree bit for bit.
+
+    Scale shape: two per-source aggregations (median, then MAD over
+    deviations) with the |sources|-row results broadcast back — the
+    corpus is scanned twice, shuffled never (the E88 pattern, one
+    extra pass for robustness); exact medians sort per group, so at
+    100 TB the first pass swaps to approx_percentile and this exact
+    form stays the oracle anchor."""
+    docs = io.table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(F.expr("percentile(n_chars, 0.5D)").alias("m"))
+    dev = (
+        docs.select("source", "doc_id", "n_chars")
+        .join(F.broadcast(med), "source")
+        .withColumn("dv", F.abs(F.col("n_chars") - F.col("m")))
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(dv, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .filter(F.col("dv") > 2.9652 * F.col("mad"))
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("dv", 1).alias("abs_dev"),
+            F.round("mad", 1).alias("mad"),
+        )
+    )
+
+
+@register(
+    "user_longest_streak",
+    tier="D",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    numbered AS (
+      SELECT user_id, d,
+             (d - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM numbered GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           MAX(len) AS longest_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98: longest consecutive-active-day streak per user — the
+    gaps-and-islands idiom (day_number minus row_number is constant
+    within a consecutive run), rolled up to streak count, active days,
+    and the longest run.  The engagement metric behind retention
+    triangles (E73) and DAU/WAU (E75), and the same islands machinery
+    E93 uses for state intervals — here over a daily calendar instead
+    of a state column.
+
+    Scale shape: the event log collapses to DISTINCT (user, day)
+    FIRST (the E75 move — orders of magnitude before any window); the
+    row_number window and both rollups all partition by user_id, so
+    ONE exchange of (user, day) pairs serves the entire query."""
+    ev = io.table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = numbered.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
     )

@@ -302,3 +302,108 @@ def test_disorder_audit_matches_imperative_replay(spark, sf_dir, qmap):
     assert got.n_events == len(seq)
     assert got.n_late == n_late
     assert got.disorder_max_us == mx
+
+
+def test_pagerank_mass_and_bounds(spark, sf_dir, qmap):
+    """Every node keeps at least the damping base (0.15); total mass
+    never exceeds the injected mass (integer truncation only loses);
+    two runs agree exactly (the fixed-point claim); node types
+    partition by id parity."""
+    a = qmap["pagerank_integer_bipartite"](spark, sf_dir).collect()
+    b = qmap["pagerank_integer_bipartite"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = len(a)
+    assert n > 0
+    total = sum(r.rank for r in a)
+    assert n * 150_000 <= total <= n * 1_000_000
+    for r in a:
+        assert r.rank >= 150_000
+        assert r.node_type == ("supplier" if r.node % 2 == 0 else "customer")
+
+
+def test_pagerank_weights_matter(spark, sf_dir, qmap):
+    """A supplier trading with more customers should outrank the
+    minimum — the graph must actually move mass (not all ranks equal
+    the base)."""
+    rows = qmap["pagerank_integer_bipartite"](spark, sf_dir).collect()
+    ranks = sorted(r.rank for r in rows)
+    assert ranks[-1] > ranks[0]
+
+
+def test_twap_lies_within_value_range(spark, sf_dir, qmap):
+    """TWAP is a convex combination of observed values: for each
+    user-day it must lie within [min, max] of that day's cents/100
+    (up to the floor-to-cents discretization), and hold totals fit a
+    day."""
+    rows = qmap["twap_user_daily"](spark, sf_dir).collect()
+    assert rows
+    ev = (
+        io.table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            (F.floor(F.col("value") * 100) / 100.0).alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    bounds = {(r.user_id, r.day): (r.lo, r.hi) for r in ev}
+    for r in rows:
+        lo, hi = bounds[(r.user_id, r.day)]
+        assert lo - 1e-9 <= r.twap <= hi + 1e-9, r
+        assert 0 < r.total_hold_s <= 86_400
+
+
+def test_mad_outliers_agree_with_imperative(spark, sf_dir, qmap):
+    """Recompute median/MAD per source in Python and confirm the
+    flagged set matches exactly."""
+    import statistics
+
+    docs = io.table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in docs:
+        by_source.setdefault(r.source, []).append(r)
+    expected = set()
+    for source, rs in by_source.items():
+        m = statistics.median(r.n_chars for r in rs)
+        mad = statistics.median(abs(r.n_chars - m) for r in rs)
+        for r in rs:
+            if abs(r.n_chars - m) > 2.9652 * mad:
+                expected.add((source, r.doc_id))
+    got = {
+        (r.source, r.doc_id)
+        for r in qmap["robust_mad_outliers"](spark, sf_dir).collect()
+    }
+    assert got == expected and got
+
+
+def test_streaks_reconcile_with_activity(spark, sf_dir, qmap):
+    """Active-day totals reconcile with the distinct (user, day)
+    relation; longest <= active days; spot-check one user's streaks
+    imperatively."""
+    days = (
+        io.table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, set] = {}
+    for r in days:
+        by_user.setdefault(r.user_id, set()).add(r.d)
+    rows = qmap["user_longest_streak"](spark, sf_dir).collect()
+    assert {r.user_id for r in rows} == set(by_user)
+    for r in rows:
+        assert r.n_active_days == len(by_user[r.user_id])
+        assert 1 <= r.longest_streak <= r.n_active_days
+    import datetime
+
+    r0 = max(rows, key=lambda r: r.longest_streak)
+    ds = sorted(by_user[r0.user_id])
+    best = cur = 1
+    for a, b in zip(ds, ds[1:]):
+        cur = cur + 1 if (b - a) == datetime.timedelta(days=1) else 1
+        best = max(best, cur)
+    assert r0.longest_streak == best
