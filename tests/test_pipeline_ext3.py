@@ -407,3 +407,36 @@ def test_streaks_reconcile_with_activity(spark, sf_dir, qmap):
         cur = cur + 1 if (b - a) == datetime.timedelta(days=1) else 1
         best = max(best, cur)
     assert r0.longest_streak == best
+
+
+def test_pagerank_matches_imperative_mirror(spark, qmap):
+    """Exact end-to-end mirror: rebuild the bipartite graph and run
+    the identical integer fixed-point iterations in pure Python on the
+    smoke fixture; every rank must match bit for bit."""
+    sf = io.SMOKE_SF_DIR
+    li = io.table(spark, sf, "lineitem").select("l_suppkey", "l_orderkey").collect()
+    orders = io.table(spark, sf, "orders").select("o_orderkey", "o_custkey").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in orders}
+    from collections import Counter, defaultdict
+
+    ew = Counter()
+    for r in li:
+        c = cust_of.get(r.l_orderkey)
+        if c is not None:
+            ew[(r.l_suppkey * 2, c * 2 + 1)] += 1
+    edges = []
+    for (s, d), w in ew.items():
+        edges.append((s, d, w))
+        edges.append((d, s, w))
+    outw = defaultdict(int)
+    for s, _d, w in edges:
+        outw[s] += w
+    nodes = sorted(outw)
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inc = defaultdict(int)
+        for s, d, w in edges:
+            inc[d] += (rank[s] * w) // outw[s]
+        rank = {n: 150_000 + (85 * inc[n]) // 100 for n in nodes}
+    got = {r.node: r.rank for r in qmap["pagerank_integer_bipartite"](spark, sf).collect()}
+    assert got == rank
