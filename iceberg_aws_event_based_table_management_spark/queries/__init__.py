@@ -131,8 +131,9 @@ def load() -> None:
     # E91-E94 batch: equidepth_histogram, dq_expectations_report,
     # scd2_user_state_intervals, event_disorder_audit, and E95/E96:
     # pagerank_integer_bipartite, twap_user_daily, and E97/E98:
-    # robust_mad_outliers, user_longest_streak — and anything
-    # built after this note)
+    # robust_mad_outliers, user_longest_streak, and E99/E100:
+    # distinct_kmv_estimate, join_cardinality_sampled_estimate —
+    # and anything built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression
     # canaries.

@@ -1,5 +1,5 @@
 """Tier D (part 4) — training-data-pipeline extensions (SURVEY.md
-SS2-E E79-E98).
+SS2-E E79-E100).
 
 Third batch of LLM-corpus / event-analytics operators: deterministic
 weighted reservoir sampling (the Efraimidis-Spirakis one-pass scheme
@@ -14,7 +14,9 @@ declarative data-quality expectations report, SCD2 validity-interval
 construction, an event-time disorder audit (the watermark-sizing
 query), integer fixed-point PageRank (order-independent int64 mass
 movement over the co-trade graph), per-user-day TWAP, robust
-MAD outlier screening, and gaps-and-islands activity streaks.
+MAD outlier screening, gaps-and-islands activity streaks, an
+engine-neutral KMV distinct-count sketch, and a sampled
+join-cardinality estimator.
 
 All built-in-function formulations (no Python UDFs); every query
 carries an exact DuckDB oracle.  Engine-neutral hashing reuses
@@ -1386,4 +1388,157 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.sum("len").cast("long").alias("n_active_days"),
         F.max("len").alias("longest_streak"),
+    )
+
+
+_KMV_K = 64
+
+
+@register(
+    "distinct_kmv_estimate",
+    tier="D",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders
+    ),
+    h AS (
+      SELECT grp,
+             {_NEUTRAL_HASH.format(col="CAST(o_custkey AS VARCHAR) || ':kmv'")}
+               / {_TWO60!r} AS u
+      FROM d
+    ),
+    ranked AS (
+      SELECT grp, u,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u) AS rn
+      FROM h
+    ),
+    kth AS (SELECT grp, u AS uk FROM ranked WHERE rn = {_KMV_K}),
+    exact AS (SELECT grp, COUNT(*) AS n_exact FROM d GROUP BY grp)
+    SELECT e.grp AS o_orderpriority, e.n_exact,
+           ROUND(({_KMV_K} - 1) / k.uk, 6) AS kmv_estimate,
+           ROUND((({_KMV_K} - 1) / k.uk - e.n_exact) / e.n_exact, 6) AS rel_error
+    FROM exact e JOIN kth k ON k.grp = e.grp
+    """,
+)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E99: k-minimum-values distinct-count sketch with exact audit —
+    per order priority, estimate distinct customers as (k-1)/u_k
+    where u_k is the k-th smallest hash-derived uniform (k=64, Bar-
+    Yossef et al. 2002).  This is the engine-NEUTRAL approximate
+    distinct count: C20's approx_count_distinct is rows-only because
+    Spark's HLL bit pattern is engine-specific, while KMV over the
+    md5-derived uniform is reproduced bit for bit by DuckDB — an
+    oracle-exact sketch.  (Groups with < k distinct values keep their
+    hash set whole and are exact by definition — not the fixture's
+    case at ~1300 per group.)
+
+    Scale shape: the hash is map-side; the k-th order statistic is a
+    per-group window over DISTINCT keys — and at scale collapses to
+    an aggregate holding only the k smallest hashes per group (a
+    64-value bounded accumulator, mergeable like any partial agg,
+    which is the point of KMV); the exact COUNT DISTINCT here is the
+    audit anchor the sketch replaces."""
+    orders = io.table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("grp"), "o_custkey"
+    ).distinct()
+    u = neutral_word_hash(
+        F.concat(F.col("o_custkey").cast("string"), F.lit(":kmv"))
+    ) / F.lit(_TWO60)
+    h = d.select("grp", u.alias("u"))
+    w = Window.partitionBy("grp").orderBy("u")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("grp", F.col("u").alias("uk"))
+    )
+    exact = d.groupBy("grp").agg(F.count("*").alias("n_exact"))
+    est = (_KMV_K - 1) / F.col("uk")
+    return exact.join(kth, "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_exact",
+        F.round(est, 6).alias("kmv_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+    )
+
+
+_JCE_MOD = 10  # deterministic 1-in-10 key sample
+
+
+@register(
+    "join_cardinality_sampled_estimate",
+    tier="D",
+    oracle=f"""
+    WITH c1 AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    c2 AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+    ),
+    sampled AS (
+      SELECT c1.k, c1.c * c2.c AS rows_for_key
+      FROM c1 JOIN c2 ON c1.k = c2.k
+      WHERE {_NEUTRAL_HASH.format(col="CAST(c1.k AS VARCHAR) || ':jce'")}
+              % {_JCE_MOD} = 0
+    ),
+    est AS (
+      SELECT CAST({_JCE_MOD} * COALESCE(SUM(rows_for_key), 0) AS BIGINT)
+               AS estimated_rows
+      FROM sampled
+    ),
+    actual AS (
+      SELECT COUNT(*) AS actual_rows
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT a.actual_rows, e.estimated_rows,
+           ROUND((CAST(e.estimated_rows AS DOUBLE) - a.actual_rows)
+                 / a.actual_rows, 6) AS rel_error
+    FROM actual a CROSS JOIN est e
+    """,
+)
+def join_cardinality_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E100: sampled join-cardinality estimation — the optimizer-
+    statistics primitive: estimate |lineitem ⨝ orders| from the two
+    per-key histograms restricted to a deterministic 1-in-10 hash
+    sample of KEYS (not rows — row sampling biases join estimates,
+    key sampling doesn't), scaled by the sampling factor, audited
+    against the executed join.  This is the number the E76 skew
+    diagnosis and a cost-based join-order choice consume BEFORE
+    paying for the shuffle.
+
+    Scale shape: the histograms are per-key aggs with map-side
+    partials; the key-hash filter pushes below both aggs' join, so
+    the estimate path touches 1/10th of the key space and never
+    executes the join; the audited join runs only because this query
+    IS the audit.  1-row est x 1-row actual glue via broadcast."""
+    li = io.table(spark, sf_dir, "lineitem")
+    orders = io.table(spark, sf_dir, "orders")
+    c1 = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("c1"))
+    c2 = orders.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("c2"))
+    keep = (
+        neutral_word_hash(F.concat(F.col("k").cast("string"), F.lit(":jce")))
+        % _JCE_MOD
+        == 0
+    )
+    est = (
+        c1.join(c2, "k")
+        .filter(keep)
+        .agg(
+            (F.lit(_JCE_MOD) * F.coalesce(F.sum(F.col("c1") * F.col("c2")), F.lit(0)))
+            .cast("long")
+            .alias("estimated_rows")
+        )
+    )
+    actual = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return actual.crossJoin(F.broadcast(est)).select(
+        "actual_rows",
+        "estimated_rows",
+        F.round(
+            (F.col("estimated_rows").cast("double") - F.col("actual_rows"))
+            / F.col("actual_rows"),
+            6,
+        ).alias("rel_error"),
     )

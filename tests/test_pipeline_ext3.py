@@ -440,3 +440,27 @@ def test_pagerank_matches_imperative_mirror(spark, qmap):
         rank = {n: 150_000 + (85 * inc[n]) // 100 for n in nodes}
     got = {r.node: r.rank for r in qmap["pagerank_integer_bipartite"](spark, sf).collect()}
     assert got == rank
+
+
+def test_kmv_estimate_is_in_the_right_ballpark(spark, sf_dir, qmap):
+    """KMV with k=64 has relative std error ~1/sqrt(k-2) ~ 12.7%; the
+    fixture estimates must land within 5 sigma of exact, and the
+    reported rel_error must reconcile."""
+    rows = qmap["distinct_kmv_estimate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.kmv_estimate - r.n_exact) / r.n_exact < 5 / (62 ** 0.5), r
+        assert abs(r.rel_error - round((r.kmv_estimate - r.n_exact) / r.n_exact, 6)) < 2e-6
+
+
+def test_join_cardinality_estimate_unbiased_shape(spark, sf_dir, qmap):
+    """The audited actual must equal the true join size; the sampled
+    estimate must be within 50% (a 1-in-10 key sample over ~10k
+    uniform keys is far tighter, but the bound must hold even under
+    unlucky hashing)."""
+    r = qmap["join_cardinality_sampled_estimate"](spark, sf_dir).collect()[0]
+    li = io.table(spark, sf_dir, "lineitem")
+    orders = io.table(spark, sf_dir, "orders")
+    true_rows = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert r.actual_rows == true_rows
+    assert abs(r.estimated_rows - r.actual_rows) / r.actual_rows < 0.5

@@ -61,6 +61,7 @@ NESTED_LOOP_OK = {
     "event_cooccurrence_pmi",  # E84: 1-row distinct-user-total relation broadcast
     "benford_first_digit_audit",  # E87: 1-row digit-total relation broadcast
     "composite_top_supplier",  # Q15 shape: 1-row MAX(total_revenue) relation broadcast
+    "join_cardinality_sampled_estimate",  # E100: 1-row actual x 1-row estimate glue
 }
 
 # Global Sort without a following limit: legitimate only when the sort
