@@ -36,6 +36,7 @@ def load() -> None:
         pipeline_ext,
         pipeline_ext2,
         pipeline_ext3,
+        pipeline_ext4,
         aggregates,
         composite,
         control_plane,
@@ -132,8 +133,11 @@ def load() -> None:
     # scd2_user_state_intervals, event_disorder_audit, and E95/E96:
     # pagerank_integer_bipartite, twap_user_daily, and E97/E98:
     # robust_mad_outliers, user_longest_streak, and E99/E100:
-    # distinct_kmv_estimate, join_cardinality_sampled_estimate —
-    # and anything built after this note)
+    # distinct_kmv_estimate, join_cardinality_sampled_estimate, and
+    # the E101-E106 batch: split_cluster_holdout,
+    # text_winnow_fingerprints, embedding_pq_codes,
+    # agg_incremental_maintenance, files_overlap_depth,
+    # distinct_hll_neutral — and anything built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression
     # canaries.

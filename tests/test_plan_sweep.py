@@ -62,6 +62,7 @@ NESTED_LOOP_OK = {
     "benford_first_digit_audit",  # E87: 1-row digit-total relation broadcast
     "composite_top_supplier",  # Q15 shape: 1-row MAX(total_revenue) relation broadcast
     "join_cardinality_sampled_estimate",  # E100: 1-row actual x 1-row estimate glue
+    "embedding_pq_codes",  # E103: k-row per-block codebook relation broadcast by hint
 }
 
 # Global Sort without a following limit: legitimate only when the sort
