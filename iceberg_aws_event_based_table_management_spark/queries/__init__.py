@@ -37,6 +37,7 @@ def load() -> None:
         pipeline_ext2,
         pipeline_ext3,
         pipeline_ext4,
+        pipeline_ext5,
         aggregates,
         composite,
         control_plane,
@@ -137,7 +138,11 @@ def load() -> None:
     # the E101-E106 batch: split_cluster_holdout,
     # text_winnow_fingerprints, embedding_pq_codes,
     # agg_incremental_maintenance, files_overlap_depth,
-    # distinct_hll_neutral — and anything built after this note)
+    # distinct_hll_neutral, and the E107-E112 batch:
+    # file_bloom_pruning_estimate, table_freshness_sla,
+    # distinct_kmv_set_ops, source_length_trend,
+    # sink_partitioned_pruning, commit_seasonality_profile —
+    # and anything built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression
     # canaries.

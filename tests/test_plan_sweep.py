@@ -31,6 +31,7 @@ SKIP = {
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
+    "sink_partitioned_pruning",  # E111: writes a scratch partitioned table
 }
 
 # ArrowEvalPython / mapInPandas are the *intended* vectorized escape
@@ -63,6 +64,8 @@ NESTED_LOOP_OK = {
     "composite_top_supplier",  # Q15 shape: 1-row MAX(total_revenue) relation broadcast
     "join_cardinality_sampled_estimate",  # E100: 1-row actual x 1-row estimate glue
     "embedding_pq_codes",  # E103: k-row per-block codebook relation broadcast by hint
+    "table_freshness_sla",  # E108: 1-row fleet-now relation broadcast
+    "distinct_kmv_set_ops",  # E109: |sources|-row pair frame (tiny both sides, < join)
 }
 
 # Global Sort without a following limit: legitimate only when the sort
