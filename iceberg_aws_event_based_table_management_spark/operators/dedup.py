@@ -295,6 +295,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # Carry the convergence flag inside the checkpointed round
+        # result: the changed-count then reads the already-materialized
+        # checkpoint instead of paying a second labels join per round.
         new = (
             labels.join(nbr, labels.doc_id == nbr.src, "left")
             .select(
@@ -302,16 +305,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_changed")).count()
+        labels = new.drop("_changed")
         if changed == 0:
             break
     else:
