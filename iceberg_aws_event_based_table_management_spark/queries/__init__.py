@@ -44,6 +44,7 @@ def load() -> None:
         dedup,
         lifecycle,
         maintenance,
+        pipeline_ext6,  # LAST: imports sibling modules' oracle fragments
     )
 
     from .. import registry
@@ -141,7 +142,10 @@ def load() -> None:
     # distinct_hll_neutral, and the E107-E112 batch:
     # file_bloom_pruning_estimate, table_freshness_sla,
     # distinct_kmv_set_ops, source_length_trend,
-    # sink_partitioned_pruning, commit_seasonality_profile —
+    # sink_partitioned_pruning, commit_seasonality_profile, and the
+    # E113-E118 batch: densify_daily_commits, attribution_multi_touch,
+    # basket_part_lift, dedup_prefix_filter_pairs,
+    # sort_compaction_zorder_quantile, cdc_apply_tombstones —
     # and anything built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression

@@ -66,6 +66,7 @@ NESTED_LOOP_OK = {
     "embedding_pq_codes",  # E103: k-row per-block codebook relation broadcast by hint
     "table_freshness_sla",  # E108: 1-row fleet-now relation broadcast
     "distinct_kmv_set_ops",  # E109: |sources|-row pair frame (tiny both sides, < join)
+    "basket_part_lift",  # E115: 1-row basket-total relation broadcast
 }
 
 # Global Sort without a following limit: legitimate only when the sort
