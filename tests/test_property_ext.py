@@ -1,0 +1,90 @@
+"""Property-based tests for the theorem-backed E102/E116 operators:
+the winnowing detection guarantee and prefix-filtering completeness
+must hold on randomized corpora, not just the fixture.
+
+Each example writes a tiny scratch documents table and runs the
+registered query against it — the same path the driver exercises.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import iceberg_aws_event_based_table_management_spark as engine
+
+WORDS = [f"w{i}" for i in range(30)]
+
+doc_words = st.lists(st.sampled_from(WORDS), min_size=3, max_size=25)
+corpus_strategy = st.lists(doc_words, min_size=2, max_size=8)
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    engine.load_all_queries()
+    return engine.query_map()
+
+
+def _write_corpus(spark, tmp_root, docs_words):
+    scratch = os.path.join(tmp_root, f"prop-{uuid.uuid4().hex}")
+    rows = [
+        (i + 1, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(docs_words)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(scratch, "documents.parquet"))
+    return scratch
+
+
+def _shingle_set(ws):
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpus_strategy, st.integers(min_value=6, max_value=10))
+def test_winnow_detects_planted_passage(spark, tmp_path_factory, qmap, corpus, plen):
+    """Winnowing's detection guarantee (w=4, 3-gram shingles): any
+    shared word-substring of length >= w + 3 - 1 = 6 contains a full
+    identical hash window, so both docs sharing a planted passage
+    must report n_shared_fp >= 1."""
+    passage = [f"p{i}" for i in range(plen)]  # disjoint from WORDS
+    docs = list(corpus)
+    # plant the passage inside the first two docs at different offsets
+    docs[0] = docs[0][:1] + passage + docs[0][1:]
+    docs[1] = docs[1][:3] + passage + docs[1][3:]
+    scratch = _write_corpus(spark, str(tmp_path_factory.mktemp("winnow")), docs)
+    out = {r.doc_id: r for r in qmap["text_winnow_fingerprints"](spark, scratch).collect()}
+    assert out[1].n_shared_fp >= 1, out[1]
+    assert out[2].n_shared_fp >= 1, out[2]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpus_strategy)
+def test_prefix_filter_complete_on_random_corpora(
+    spark, tmp_path_factory, qmap, corpus
+):
+    """Prefix-filtering completeness: the verified output must equal
+    brute-force Python set arithmetic over every doc pair — no pair
+    with Jaccard >= 0.5 may be lost to the prefix pruning."""
+    scratch = _write_corpus(spark, str(tmp_path_factory.mktemp("ppjoin")), corpus)
+    sets = {i + 1: _shingle_set(ws) for i, ws in enumerate(corpus)}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if union and inter / union >= 0.5:
+            expect[(a, b)] = inter
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.n_common
+        for r in qmap["dedup_prefix_filter_pairs"](spark, scratch).collect()
+    }
+    assert got == expect
