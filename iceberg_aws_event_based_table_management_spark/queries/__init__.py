@@ -44,7 +44,8 @@ def load() -> None:
         dedup,
         lifecycle,
         maintenance,
-        pipeline_ext6,  # LAST: imports sibling modules' oracle fragments
+        pipeline_ext6,  # LAST two: import sibling modules' oracle fragments
+        pipeline_ext7,
     )
 
     from .. import registry
@@ -145,7 +146,9 @@ def load() -> None:
     # sink_partitioned_pruning, commit_seasonality_profile, and the
     # E113-E118 batch: densify_daily_commits, attribution_multi_touch,
     # basket_part_lift, dedup_prefix_filter_pairs,
-    # sort_compaction_zorder_quantile, cdc_apply_tombstones —
+    # sort_compaction_zorder_quantile, cdc_apply_tombstones, and the
+    # E119-E122 batch: dedup_simhash_hamming, scd2_point_in_time_join,
+    # ann_ivfpq_recall_audit, pareto_revenue_concentration —
     # and anything built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression

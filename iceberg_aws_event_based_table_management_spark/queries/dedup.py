@@ -152,9 +152,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_BITS = 60
-_SIMHASH_ORACLE = (
+# fp CTE chain (no WITH / no final select) — shared with the hamming
+# pair join in pipeline_ext7.
+_SIMHASH_FP_CTE = (
     r"""
-    WITH words AS (
+    words AS (
       SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
                                         w -> w <> '')) AS word
       FROM documents
@@ -186,7 +188,12 @@ _SIMHASH_ORACLE = (
     )
     + """ AS simhash
       FROM bit_sums
-    )
+    )"""
+)
+_SIMHASH_ORACLE = (
+    "WITH "
+    + _SIMHASH_FP_CTE
+    + """
     SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
     FROM fp GROUP BY simhash HAVING COUNT(*) >= 1
     """

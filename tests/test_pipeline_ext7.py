@@ -1,0 +1,103 @@
+"""Semantic invariants for the E119-E122 operators (value correctness
+is the oracle's job; these lock the *guarantees* each operator's
+contract promises)."""
+
+from __future__ import annotations
+
+import pytest
+
+import iceberg_aws_event_based_table_management_spark as engine
+from iceberg_aws_event_based_table_management_spark import io
+from iceberg_aws_event_based_table_management_spark.operators import dedup as D
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    engine.load_all_queries()
+    return engine.query_map()
+
+
+def test_hamming_pairs_match_bruteforce_over_fingerprints(spark, sf_dir, qmap):
+    """Block-pigeonhole candidates must lose nothing: the output
+    equals a brute-force hamming scan over the (collected)
+    fingerprints, and strictly contains the equal-fingerprint pairs."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = {r.doc_id: r.simhash for r in D.simhash(docs, bits=60).collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in qmap["dedup_simhash_hamming"](spark, sf_dir).collect()
+    }
+    assert got == brute
+    equal_pairs = {p for p, h in brute.items() if h == 0}
+    assert set(got) >= equal_pairs
+    assert got, "fixture must contain hamming-close pairs"
+
+
+def test_scd2_join_accounts_for_every_purchase(spark, sf_dir, qmap):
+    """No purchase may vanish in the temporal join; states come from
+    the non-purchase vocabulary plus the 'none' bucket."""
+    rows = qmap["scd2_point_in_time_join"](spark, sf_dir).collect()
+    ev = io.table(spark, sf_dir, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    state_vocab = {
+        r.event_type
+        for r in ev.select("event_type").distinct().collect()
+        if r.event_type != "purchase"
+    } | {"none"}
+    assert {r.state for r in rows} <= state_vocab
+
+
+def test_ivfpq_audit_is_sane(spark, sf_dir, qmap):
+    """Candidates are a strict subset of the corpus (that's the IVF
+    pruning), hits are bounded by k, and the probe must recover at
+    least some of the true neighborhood."""
+    r = qmap["ann_ivfpq_recall_audit"](spark, sf_dir).collect()[0]
+    n_vecs = io.table(spark, sf_dir, "embeddings").count()
+    assert 0 < r.n_candidates < n_vecs
+    assert 0 <= r.n_hits <= 20
+    assert r.recall_at_20 == r.n_hits / 20
+    assert r.recall_at_20 >= 0.05, "probe should recover at least one true neighbor"
+
+
+def test_pareto_matches_python_lorenz(spark, sf_dir, qmap):
+    """Gini and top-decile share must agree with a straightforward
+    Python Lorenz computation per segment."""
+    import math
+
+    rows = {r.mktsegment: r for r in qmap["pareto_revenue_concentration"](spark, sf_dir).collect()}
+    rev = (
+        io.table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .join(
+            io.table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .collect()
+    )
+    by_seg: dict[str, list[int]] = {}
+    for r in rev:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.cents)
+    for seg, cents in by_seg.items():
+        got = rows[seg]
+        n, total = len(cents), sum(cents)
+        assert (got.n_customers, got.total_cents) == (n, total)
+        asc = sorted(cents)
+        gini = 2 * sum((i + 1) * y for i, y in enumerate(asc)) / (n * total) - (n + 1) / n
+        assert abs(got.gini - gini) < 1e-5, seg
+        top = sum(sorted(cents, reverse=True)[: math.ceil(n / 10)])
+        assert got.top10_share_ppm == int(1_000_000 * top / total) or abs(
+            got.top10_share_ppm - 1_000_000 * top / total
+        ) <= 1, seg
+        assert got.top10_share_ppm >= 100_000, "top decile holds >= its pro-rata share"

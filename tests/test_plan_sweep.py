@@ -67,6 +67,7 @@ NESTED_LOOP_OK = {
     "table_freshness_sla",  # E108: 1-row fleet-now relation broadcast
     "distinct_kmv_set_ops",  # E109: |sources|-row pair frame (tiny both sides, < join)
     "basket_part_lift",  # E115: 1-row basket-total relation broadcast
+    "ann_ivfpq_recall_audit",  # E121: 1-row query-vector + k-row codebook broadcasts
 }
 
 # Global Sort without a following limit: legitimate only when the sort
