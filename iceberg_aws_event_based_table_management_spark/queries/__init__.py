@@ -148,7 +148,9 @@ def load() -> None:
     # basket_part_lift, dedup_prefix_filter_pairs,
     # sort_compaction_zorder_quantile, cdc_apply_tombstones, and the
     # E119-E122 batch: dedup_simhash_hamming, scd2_point_in_time_join,
-    # ann_ivfpq_recall_audit, pareto_revenue_concentration —
+    # ann_ivfpq_recall_audit, pareto_revenue_concentration, and the
+    # E123-E125 batch: graph_triangle_census,
+    # session_first_purchase_mrr, files_composite_predicate_skipping —
     # and anything built after this note)
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression

@@ -1,5 +1,6 @@
-"""Tier C/D (part 8) — hamming near-dup, temporal enrichment, IVF-PQ
-composition, and revenue concentration (SURVEY.md §2-E E119-E122).
+"""Tier B/C/D (part 8) — hamming near-dup, temporal enrichment,
+IVF-PQ composition, concentration, graph census, ranking metrics, and
+composite skipping (SURVEY.md §2-E E119-E125).
 
 Seventh batch: SimHash near-dup detection at hamming distance ≤ 3 via
 block pigeonhole candidates (Manku et al., WWW'07 — the web-scale
@@ -11,7 +12,11 @@ IVF-PQ recall audit (coarse k-means probe + asymmetric-distance PQ
 scoring, composing E53's IVF and E103's codes into the full ANN index
 read path with an exact-top-k truth), and per-segment revenue
 concentration (Gini + top-decile share in integer ppm — the Lorenz
-statistics of E85, on money).
+statistics of E85, on money), plus a triangle census with global
+clustering coefficient (the third classic graph primitive after E95's
+PageRank and E25's components), per-session first-purchase MRR in
+integer ppm, and composite-predicate file skipping (the E74/E105/E117
+observability trio's conjunction case).
 
 All built-in-function formulations (no Python UDFs); every query
 carries an exact DuckDB oracle.  Registers LAST (after dedup) so it
@@ -560,4 +565,289 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.min("n") + F.lit(1.0)) / F.min("n"),
             6,
         ).alias("gini"),
+    )
+
+
+_TRI_MIN_SUPPORT = 2
+
+
+@register(
+    "graph_triangle_census",
+    tier="D",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM (
+        SELECT u FROM edges UNION ALL SELECT v FROM edges
+      ) t(u) GROUP BY 1
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wedges AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           (SELECT n_wedges FROM wedges) AS n_wedges,
+           ROUND(3.0 * (SELECT n_triangles FROM tri)
+                 / (SELECT n_wedges FROM wedges), 6) AS clustering_coeff
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E123: triangle census + global clustering coefficient over the
+    part co-order graph (edges = part pairs co-ordered in ≥ 2
+    baskets) — the third classic distributed-graph primitive after
+    PageRank (E95) and connected components (E25): triangles measure
+    local cohesion (are my neighbors each other's neighbors), and
+    3·triangles/wedges is the global clustering coefficient.  Counted
+    on the ORIENTED graph (u < v): each triangle u<v<w appears exactly
+    once as e1=(u,v), e2=(v,w), e3=(u,w) — two self-joins, no
+    double-counting, no post-hoc division by 6.
+
+    Scale shape: edge building reuses E115's bounded within-basket
+    discipline + support pruning; the oriented two-join is the
+    standard MapReduce triangle algorithm, with work Σ_v deg²(v) on
+    the oriented (halved-degree) graph — at web scale the orientation
+    switches to degree-ordering (low→high), same joins, provably
+    O(m^1.5); wedge counts are one degree agg.  Every count is
+    integer; the coefficient is one IEEE division."""
+    li = io.table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wed = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        counts.crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@register(
+    "session_first_purchase_mrr",
+    tier="D",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    firstbuy AS (
+      SELECT user_id, day, MIN(pos) AS first_purchase_pos
+      FROM sess WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT s.user_id, s.day,
+             CASE WHEN f.first_purchase_pos IS NULL THEN 0
+                  ELSE CAST(FLOOR(1000000.0 / f.first_purchase_pos) AS BIGINT)
+             END AS rr_ppm
+      FROM (SELECT DISTINCT user_id, day FROM sess) s
+      LEFT JOIN firstbuy f ON s.user_id = f.user_id AND s.day = f.day
+    )
+    SELECT day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN rr_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converting,
+           CAST(SUM(rr_ppm) AS BIGINT) AS sum_rr_ppm,
+           CAST(FLOOR(CAST(SUM(rr_ppm) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mrr_ppm
+    FROM scored GROUP BY day
+    """,
+)
+def session_first_purchase_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E124: mean reciprocal rank of the first purchase per (user,
+    day) session — the ranking-quality metric (MRR) applied to
+    conversion position: a purchase as the session's 2nd event scores
+    1/2, an unconverted session 0.  Reciprocals are INTEGER ppm
+    (floor(1e6/pos)), so daily sums are exact int64 — the E114
+    discipline for a metric textbooks define as a float mean.  Daily
+    MRR trend is the funnel-efficiency complement of E72's stage
+    conversion rates.
+
+    Scale shape: one (user, day) window orders each session once;
+    the first-purchase position is a per-session MIN agg sharing the
+    same partitioning; the daily rollup keys on dates.  A hot
+    user-day is bounded by one user's daily event volume."""
+    ev = io.table(spark, sf_dir, "events")
+    sw = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    sess = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.row_number().over(sw).alias("pos"),
+    )
+    firstbuy = (
+        sess.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.min("pos").alias("first_purchase_pos"))
+    )
+    scored = (
+        sess.select("user_id", "day")
+        .distinct()
+        .join(firstbuy, ["user_id", "day"], "left")
+        .select(
+            "day",
+            F.when(F.col("first_purchase_pos").isNull(), F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(F.lit(1000000.0) / F.col("first_purchase_pos")).cast("long")
+            )
+            .alias("rr_ppm"),
+        )
+    )
+    return scored.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("rr_ppm") > 0).cast("long")).alias("n_converting"),
+        F.sum("rr_ppm").cast("long").alias("sum_rr_ppm"),
+        F.floor(F.sum("rr_ppm").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mrr_ppm"),
+    )
+
+
+_CSK_DATE_LO = "1995-03-01"
+_CSK_DATE_HI = "1995-08-31"
+_CSK_PARTKEY = 500
+
+
+@register(
+    "files_composite_predicate_skipping",
+    tier="B",
+    oracle=f"""
+    WITH fstats AS (
+      SELECT 't' || CAST(l_orderkey % 8 AS VARCHAR) AS table_name,
+             l_orderkey // 100 AS file_no,
+             MIN(l_shipdate) AS min_sd, MAX(l_shipdate) AS max_sd,
+             MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+             COUNT(*) AS record_count
+      FROM lineitem GROUP BY 1, 2
+    ),
+    judged AS (
+      SELECT table_name, record_count,
+             (max_sd < DATE '{_CSK_DATE_LO}'
+              OR min_sd > DATE '{_CSK_DATE_HI}') AS skip_date,
+             ({_CSK_PARTKEY} < min_pk OR {_CSK_PARTKEY} > max_pk) AS skip_pk
+      FROM fstats
+    )
+    SELECT table_name,
+           COUNT(*) AS n_files,
+           CAST(SUM(CASE WHEN skip_date THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skip_date_only,
+           CAST(SUM(CASE WHEN skip_pk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skip_pk_only,
+           CAST(SUM(CASE WHEN skip_date OR skip_pk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skip_composite,
+           CAST(SUM(CASE WHEN NOT (skip_date OR skip_pk)
+                         THEN record_count ELSE 0 END) AS BIGINT)
+             AS rows_scanned
+    FROM judged GROUP BY table_name
+    """,
+)
+def files_composite_predicate_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E125: composite-predicate file skipping — E74 evaluates ONE
+    column's min/max against a range; real scans carry conjunctions
+    (`shipdate BETWEEN ... AND partkey = P`), and a file skips if ANY
+    conjunct's stats exclude it — so composite skipping is the UNION
+    of single-column skips, which is exactly why multi-column
+    clustering (z-order, E117) beats single-key sort: it makes BOTH
+    conjuncts' stats tight at once.  Per table: files skipped by each
+    conjunct alone, by the conjunction, and rows actually scanned —
+    the numbers that justify (or refuse) a z-order rewrite for a
+    given workload, completing the E74/E105/E117 observability trio.
+
+    Scale shape: identical to E74 — one stats groupBy (free from
+    manifests in a real lake), then metadata-sized judgment and
+    rollup; no joins."""
+    li = io.table(spark, sf_dir, "lineitem")
+    fstats = li.groupBy(
+        F.concat(F.lit("t"), (F.col("l_orderkey") % 8).cast("string")).alias(
+            "table_name"
+        ),
+        (F.col("l_orderkey") / 100).cast("long").alias("file_no"),
+    ).agg(
+        F.min("l_shipdate").alias("min_sd"),
+        F.max("l_shipdate").alias("max_sd"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.count("*").alias("record_count"),
+    )
+    lo, hi = F.lit(_CSK_DATE_LO).cast("date"), F.lit(_CSK_DATE_HI).cast("date")
+    judged = fstats.select(
+        "table_name",
+        "record_count",
+        ((F.col("max_sd") < lo) | (F.col("min_sd") > hi)).alias("skip_date"),
+        (
+            (F.lit(_CSK_PARTKEY) < F.col("min_pk"))
+            | (F.lit(_CSK_PARTKEY) > F.col("max_pk"))
+        ).alias("skip_pk"),
+    )
+    return judged.groupBy("table_name").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("skip_date").cast("long")).alias("n_skip_date_only"),
+        F.sum(F.col("skip_pk").cast("long")).alias("n_skip_pk_only"),
+        F.sum((F.col("skip_date") | F.col("skip_pk")).cast("long")).alias(
+            "n_skip_composite"
+        ),
+        F.sum(
+            F.when(~(F.col("skip_date") | F.col("skip_pk")), F.col("record_count"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_scanned"),
     )

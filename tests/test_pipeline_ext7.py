@@ -101,3 +101,68 @@ def test_pareto_matches_python_lorenz(spark, sf_dir, qmap):
             got.top10_share_ppm - 1_000_000 * top / total
         ) <= 1, seg
         assert got.top10_share_ppm >= 100_000, "top decile holds >= its pro-rata share"
+
+
+def test_triangle_census_matches_networkless_python(spark, sf_dir, qmap):
+    """The oriented two-join count must equal a plain Python triangle
+    count over the same support-pruned edge set."""
+    from collections import defaultdict
+
+    items = (
+        io.table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in items:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                support[(u, v)] += 1
+    edges = {e for e, s in support.items() if s >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)  # oriented u < v
+    n_tri = sum(1 for u, v in edges for w in adj.get(v, ()) if w in adj[u])
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    r = qmap["graph_triangle_census"](spark, sf_dir).collect()[0]
+    assert (r.n_edges, r.n_nodes, r.n_triangles, r.n_wedges) == (
+        len(edges),
+        len(deg),
+        n_tri,
+        n_wedges,
+    )
+    assert abs(r.clustering_coeff - 3 * n_tri / n_wedges) < 1e-6
+
+
+def test_mrr_bounds_and_reconciliation(spark, sf_dir, qmap):
+    """Session accounting: converting <= sessions, rr in (0, 1e6],
+    and total sessions reconcile with distinct (user, day) pairs."""
+    rows = qmap["session_first_purchase_mrr"](spark, sf_dir).collect()
+    ev = io.table(spark, sf_dir, "events")
+    n_sessions = (
+        ev.select("user_id", F.col("ts").cast("date")).distinct().count()
+    )
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert 0 <= r.n_converting <= r.n_sessions
+        assert r.sum_rr_ppm <= 1_000_000 * r.n_converting
+        assert r.mrr_ppm == int(r.sum_rr_ppm / r.n_sessions)
+
+
+def test_composite_skipping_dominates_single_column(spark, sf_dir, qmap):
+    """The union property: composite skips >= each single conjunct's
+    skips, and scanned rows + skipped files reconcile."""
+    for r in qmap["files_composite_predicate_skipping"](spark, sf_dir).collect():
+        assert r.n_skip_composite >= max(r.n_skip_date_only, r.n_skip_pk_only), r
+        assert r.n_skip_composite <= r.n_skip_date_only + r.n_skip_pk_only
+        assert 0 <= r.n_skip_composite <= r.n_files
+        assert r.rows_scanned >= 0

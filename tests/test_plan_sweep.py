@@ -68,6 +68,7 @@ NESTED_LOOP_OK = {
     "distinct_kmv_set_ops",  # E109: |sources|-row pair frame (tiny both sides, < join)
     "basket_part_lift",  # E115: 1-row basket-total relation broadcast
     "ann_ivfpq_recall_audit",  # E121: 1-row query-vector + k-row codebook broadcasts
+    "graph_triangle_census",  # E123: 1-row census glue (edges x nodes x tri x wedges)
 }
 
 # Global Sort without a following limit: legitimate only when the sort
