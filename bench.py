@@ -67,6 +67,13 @@ HEADLINE = [
     "scd2_user_state_intervals",
     "dq_expectations_report",
     "linkage_blocked_nearest_name",
+    # round-5 continuation (E101-E125 representatives): the two
+    # provable-recall near-dup paths, the full ANN read path, and the
+    # heaviest new corpus pass (winnowing)
+    "dedup_prefix_filter_pairs",
+    "dedup_simhash_hamming",
+    "ann_ivfpq_recall_audit",
+    "text_winnow_fingerprints",
 ]
 
 

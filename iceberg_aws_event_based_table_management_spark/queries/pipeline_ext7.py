@@ -34,6 +34,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..registry import register
 from .dedup import _SIMHASH_FP_CTE
+from .text import _LANGID_PRED_CTE
 
 _HAM_BLOCKS = 4
 _HAM_BLOCK_BITS = 15  # 60-bit fingerprint -> 4 x 15-bit blocks
@@ -850,4 +851,132 @@ def files_composite_predicate_skipping(spark: SparkSession, sf_dir: str) -> Data
         )
         .cast("long")
         .alias("rows_scanned"),
+    )
+
+
+@register(
+    "langid_confusion_matrix",
+    tier="D",
+    oracle="WITH "
+    + _LANGID_PRED_CTE
+    + """,
+    assigned AS (
+      SELECT d.lang, COALESCE(p.profile_lang, 'unknown') AS predicted_lang
+      FROM documents d LEFT JOIN pred p USING (doc_id)
+    ),
+    truth AS (SELECT lang, COUNT(*) AS n_true FROM assigned GROUP BY lang)
+    SELECT a.lang, a.predicted_lang,
+           COUNT(*) AS n,
+           CAST(MIN(t.n_true) AS BIGINT) AS n_true,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(t.n_true), 6) AS share
+    FROM assigned a JOIN truth t ON a.lang = t.lang
+    GROUP BY a.lang, a.predicted_lang
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E126: language-ID confusion matrix — D5's classifier (corpus-
+    learned function-word profiles, text_lang_id) evaluated against
+    the labeled lang column: per (true, predicted) cell the count and
+    its share of the true class (the recall diagonal / confusion
+    off-diagonals).  This is the MODEL-EVALUATION query shape every
+    classifier in the pipeline needs (E69's scored filter, E37's
+    gate): same engine, same declarative plan, metric = one grouped
+    count over predictions — no separate eval framework.
+
+    Scale shape: prediction is text_lang_id's plan (tiny profile
+    broadcast + one vote shuffle); the matrix is a groupBy over
+    (lang, predicted) — |langs|² keys; class totals broadcast back.
+    Share = one IEEE division on exact counts."""
+    from ..operators import text as TX
+
+    pred = TX.lang_id_ngram(io.table(spark, sf_dir, "documents"), profile_size=20)
+    assigned = pred.select("lang", "predicted_lang")
+    truth = assigned.groupBy("lang").agg(F.count("*").alias("n_true"))
+    return (
+        assigned.groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .join(truth, "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("share"),
+        )
+    )
+
+
+_COVERAGE_THRESHOLDS = [50, 90, 99]
+
+
+@register(
+    "vocab_coverage_curve",
+    tier="D",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
+    ),
+    tk AS (SELECT word FROM toks WHERE word <> ''),
+    freq AS (SELECT word, COUNT(*) AS n FROM tk GROUP BY word),
+    ranked AS (
+      SELECT word, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, word
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS total
+      FROM freq
+    ),
+    crossed AS (
+      SELECT t.threshold_pct, r.rnk, r.cum, r.total
+      FROM ranked r
+      CROSS JOIN (SELECT unnest({_COVERAGE_THRESHOLDS!r}) AS threshold_pct) t
+      WHERE r.cum * 100 >= r.total * t.threshold_pct
+    )
+    SELECT threshold_pct,
+           CAST(MIN(rnk) AS BIGINT) AS vocab_size,
+           CAST(MIN_BY(cum, rnk) AS BIGINT) AS tokens_covered,
+           CAST(MIN(total) AS BIGINT) AS total_tokens
+    FROM crossed GROUP BY threshold_pct
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E127: vocabulary coverage curve — the smallest frequency-ranked
+    vocabulary covering 50/90/99% of corpus tokens: THE tokenizer-
+    budget question (how many types buy how much coverage; the long
+    tail past the 99% knee is what byte-fallback/BPE exists for).
+    Crossing detection is pure integers (cum·100 ≥ total·pct — no
+    ratio floats), ranks tie-break on (freq desc, word), and the
+    covered-token count at the crossing rank rides along via MIN_BY/
+    min(struct).
+
+    Scale shape: the frequency table is one partial-agg shuffle; the
+    ranking window runs over the VOCABULARY (types, not tokens —
+    metadata-sized next to the corpus, the E21 allowance), and the
+    threshold expansion is 3× vocab rows filtered map-side.  At
+    open-web scale the exact global window swaps for frequency-bucket
+    histogram prefix sums (E62's shape); this form is the oracle
+    anchor."""
+    docs = io.table(spark, sf_dir, "documents")
+    tk = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = tk.groupBy("word").agg(F.count("*").alias("n"))
+    ow = Window.orderBy(F.desc("n"), "word")
+    ranked = freq.select(
+        F.row_number().over(ow).cast("long").alias("rnk"),
+        F.sum("n").over(ow.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    crossed = (
+        ranked.withColumn(
+            "threshold_pct",
+            F.explode(F.array(*[F.lit(t) for t in _COVERAGE_THRESHOLDS])),
+        )
+        .filter(F.col("cum") * 100 >= F.col("total") * F.col("threshold_pct"))
+    )
+    return crossed.groupBy("threshold_pct").agg(
+        F.min("rnk").alias("vocab_size"),
+        F.min(F.struct("rnk", "cum")).getField("cum").alias("tokens_covered"),
+        F.min("total").cast("long").alias("total_tokens"),
     )

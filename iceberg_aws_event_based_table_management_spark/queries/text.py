@@ -77,11 +77,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(io.table(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_lang_id",
-    tier="D",
-    oracle=r"""
-    WITH words AS (
+# words → profiles → per-doc predicted language CTE chain (no WITH /
+# no final select) — shared with the confusion matrix in pipeline_ext7.
+_LANGID_PRED_CTE = r"""
+    words AS (
       SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
       FROM documents
     ),
@@ -104,7 +103,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang) AS rk
         FROM votes
       ) WHERE rk = 1
-    )
+    )"""
+
+
+@register(
+    "text_lang_id",
+    tier="D",
+    oracle="WITH "
+    + _LANGID_PRED_CTE
+    + r"""
     SELECT d.doc_id, d.lang,
            COALESCE(p.profile_lang, 'unknown') AS predicted_lang,
            COALESCE(p.overlap, 0) AS overlap,

@@ -166,3 +166,54 @@ def test_composite_skipping_dominates_single_column(spark, sf_dir, qmap):
         assert r.n_skip_composite <= r.n_skip_date_only + r.n_skip_pk_only
         assert 0 <= r.n_skip_composite <= r.n_files
         assert r.rows_scanned >= 0
+
+
+def test_confusion_matrix_reconciles_with_langid(spark, sf_dir, qmap):
+    """Matrix cells must sum to the corpus; per-class shares must sum
+    to 1; the diagonal must match text_lang_id's correct count."""
+    rows = qmap["langid_confusion_matrix"](spark, sf_dir).collect()
+    n_docs = io.table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, cells in by_lang.items():
+        assert abs(sum(c.share for c in cells) - 1.0) < 1e-4, lang
+        assert all(c.n_true == cells[0].n_true for c in cells)
+    diag = sum(r.n for r in rows if r.lang == r.predicted_lang)
+    correct = sum(
+        1 for r in qmap["text_lang_id"](spark, sf_dir).collect() if r.correct
+    )
+    assert diag == correct
+
+
+def test_coverage_curve_is_monotone_and_tight(spark, sf_dir, qmap):
+    """Higher thresholds need no smaller vocabulary; each reported
+    vocab size is TIGHT (one fewer type drops below the threshold);
+    totals agree across rows."""
+    rows = sorted(
+        qmap["vocab_coverage_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    assert [r.threshold_pct for r in rows] == [50, 90, 99]
+    assert rows[0].vocab_size <= rows[1].vocab_size <= rows[2].vocab_size
+    total = rows[0].total_tokens
+    freqs = sorted(
+        (
+            r.n
+            for r in io.table(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        ),
+        reverse=True,
+    )
+    assert sum(freqs) == total
+    for r in rows:
+        covered = sum(freqs[: r.vocab_size])
+        assert covered == r.tokens_covered
+        assert covered * 100 >= total * r.threshold_pct
+        assert sum(freqs[: r.vocab_size - 1]) * 100 < total * r.threshold_pct

@@ -80,6 +80,7 @@ GLOBAL_SORT_OK = {
     "sort_compaction_zorder",  # B2: z-ordered rewrite is the contract
     "shard_assignment_balanced",  # E21: ranks (n_chars, doc_id) metadata pairs
     "quantile_histogram_sketch",  # E62: ~120-bin cumulative window (metadata-sized) + the exact-audit anchor the sketch replaces at scale
+    "vocab_coverage_curve",  # E127: ranks the VOCABULARY (types, not tokens — metadata next to the corpus); histogram prefix sums at open-web scale
 }
 
 
