@@ -86,29 +86,39 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate; each doc reports its distinct-shingle count and
     boilerplate fraction (the removal decision input).
 
-    Scale shape: shingling is narrow (operators/dedup.shingles); the
-    doc-frequency table shuffles once on the shingle key and joins back
-    on the same key, so the exchange is reused — text itself never
-    travels with the shingles.  At 100 TB the frequent-shingle side is
-    tiny relative to the corpus (boilerplate is frequent by definition)
-    and AQE broadcast-converts the join-back."""
-    sh = D.shingles(io.table(spark, sf_dir, "documents").select("doc_id", "text"), 3)
-    df = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("n_docs"))
-    return (
-        sh.join(df, "shingle")
+    Scale shape: shingling is narrow (operators/dedup.shingles) and
+    materialized once (localCheckpoint) for its three consumers.  The
+    join carries ONLY the boilerplate shingles (df >= 3 post-filter) —
+    tiny relative to the corpus since boilerplate is frequent by
+    definition, so AQE broadcast-converts it; the full doc-frequency
+    table (mostly singleton shingles, nearly as large as the shingle
+    table itself) never sits on a sort-merge join side.  Per-doc
+    totals and per-doc boilerplate counts agg on the same doc_id key,
+    so the final join reuses one partitioning.  shingles() emits
+    DISTINCT (doc_id, shingle), so document frequency is a plain
+    COUNT(*) — no distinct-agg buffers."""
+    sh = D.shingles(
+        io.table(spark, sf_dir, "documents").select("doc_id", "text"), 3
+    ).localCheckpoint(eager=False)
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    n_boiler = (
+        sh.join(boiler, "shingle")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("n_docs") >= _BOILER_MIN_DOCS, 1).otherwise(0)
-            ).alias("n_boiler"),
-        )
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_frac"),
-        )
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return per_doc.join(n_boiler, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        F.round(
+            F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("boiler_frac"),
     )
 
 
