@@ -44,8 +44,9 @@ def load() -> None:
         dedup,
         lifecycle,
         maintenance,
-        pipeline_ext6,  # LAST two: import sibling modules' oracle fragments
+        pipeline_ext6,  # LAST three: import sibling modules' oracle fragments
         pipeline_ext7,
+        pipeline_ext8,
     )
 
     from .. import registry

@@ -69,6 +69,7 @@ NESTED_LOOP_OK = {
     "basket_part_lift",  # E115: 1-row basket-total relation broadcast
     "ann_ivfpq_recall_audit",  # E121: 1-row query-vector + k-row codebook broadcasts
     "graph_triangle_census",  # E123: 1-row census glue (edges x nodes x tri x wedges)
+    "bm25_topk_retrieval",  # E128: 1-row corpus N/total-tokens relation broadcast
 }
 
 # Global Sort without a following limit: legitimate only when the sort
