@@ -47,6 +47,7 @@ def load() -> None:
         pipeline_ext6,  # LAST three: import sibling modules' oracle fragments
         pipeline_ext7,
         pipeline_ext8,
+        pipeline_ext9,
     )
 
     from .. import registry
