@@ -48,6 +48,7 @@ def load() -> None:
         pipeline_ext7,
         pipeline_ext8,
         pipeline_ext9,
+        pipeline_ext10,
     )
 
     from .. import registry

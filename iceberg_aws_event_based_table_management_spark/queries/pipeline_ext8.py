@@ -51,8 +51,12 @@ _BM25_TOPK = 10
 # per-term score_ppm = floor((a/b) * 1e6) with
 #   a = (2N - 2df + 1) * 22 * tf * total
 #   b = (2df + 1) * (10*tf*total + 3*total + 9*dl*N)
-_BM25_ORACLE = f"""
-    WITH docs AS (
+#
+# CTE chain (no WITH / no final select) ending in the per-doc
+# `bm25 (doc_id, score_ppm, n_terms, dl)` relation — shared with the
+# RRF fusion in pipeline_ext10.
+_BM25_SCORED_CTE = f"""
+    docs AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
                          w -> w <> '') AS ws
@@ -81,16 +85,26 @@ _BM25_ORACLE = f"""
       JOIN df f USING (word)
       JOIN dl d USING (doc_id)
       CROSS JOIN stats s
-    )
-    SELECT s.doc_id,
-           CAST(SUM(s.term_ppm) AS BIGINT) AS score_ppm,
-           CAST(COUNT(*) AS BIGINT) AS n_terms,
-           MIN(d.dl) AS dl
-    FROM scored s JOIN dl d USING (doc_id)
-    GROUP BY s.doc_id
-    ORDER BY score_ppm DESC, s.doc_id
+    ),
+    bm25 AS (
+      SELECT s.doc_id,
+             CAST(SUM(s.term_ppm) AS BIGINT) AS score_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             MIN(d.dl) AS dl
+      FROM scored s JOIN dl d USING (doc_id)
+      GROUP BY s.doc_id
+    )"""
+
+_BM25_ORACLE = (
+    "WITH "
+    + _BM25_SCORED_CTE
+    + f"""
+    SELECT doc_id, score_ppm, n_terms, dl
+    FROM bm25
+    ORDER BY score_ppm DESC, doc_id
     LIMIT {_BM25_TOPK}
     """
+)
 
 
 @register("bm25_topk_retrieval", tier="D", oracle=_BM25_ORACLE)
@@ -115,6 +129,17 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered (per-partition heaps).  At 100 TB this is the
     classic inverted-index score-join: work ∝ postings of the query
     terms, never ∝ corpus."""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 scores (doc_id, score_ppm, n_terms, dl) for the
+    fixed query, un-truncated — the relation the `bm25` oracle CTE
+    mirrors; shared with pipeline_ext10's RRF fusion."""
     docs = io.table(spark, sf_dir, "documents").select(
         "doc_id",
         F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("ws"),
@@ -159,15 +184,10 @@ def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_ppm"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("term_ppm").cast("long").alias("score_ppm"),
-            F.count("*").cast("long").alias("n_terms"),
-            F.min("dl").alias("dl"),
-        )
-        .orderBy(F.desc("score_ppm"), "doc_id")
-        .limit(_BM25_TOPK)
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_ppm").cast("long").alias("score_ppm"),
+        F.count("*").cast("long").alias("n_terms"),
+        F.min("dl").alias("dl"),
     )
 
 

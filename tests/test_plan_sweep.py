@@ -70,6 +70,7 @@ NESTED_LOOP_OK = {
     "ann_ivfpq_recall_audit",  # E121: 1-row query-vector + k-row codebook broadcasts
     "graph_triangle_census",  # E123: 1-row census glue (edges x nodes x tri x wedges)
     "bm25_topk_retrieval",  # E128: 1-row corpus N/total-tokens relation broadcast
+    "rrf_fuse_retrieval",  # E144: inherits E128's 1-row stats broadcast via _bm25_scored
     "drift_chi_square_gate",  # E135: 1-row span + 1-row period-total broadcasts
     "quantile_normalize_lengths",  # E139: grid x grid CDF theta join — both sides length-bounded metadata, global grid broadcast
 }
