@@ -49,6 +49,7 @@ def load() -> None:
         pipeline_ext8,
         pipeline_ext9,
         pipeline_ext10,
+        pipeline_ext11,
     )
 
     from .. import registry

@@ -71,6 +71,7 @@ NESTED_LOOP_OK = {
     "graph_triangle_census",  # E123: 1-row census glue (edges x nodes x tri x wedges)
     "bm25_topk_retrieval",  # E128: 1-row corpus N/total-tokens relation broadcast
     "rrf_fuse_retrieval",  # E144: inherits E128's 1-row stats broadcast via _bm25_scored
+    "survival_km_repurchase",  # E148: 1-row censoring-horizon relation broadcast
     "drift_chi_square_gate",  # E135: 1-row span + 1-row period-total broadcasts
     "quantile_normalize_lengths",  # E139: grid x grid CDF theta join — both sides length-bounded metadata, global grid broadcast
 }
