@@ -50,6 +50,7 @@ def load() -> None:
         pipeline_ext9,
         pipeline_ext10,
         pipeline_ext11,
+        pipeline_ext12,
     )
 
     from .. import registry
