@@ -74,6 +74,14 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "ann_ivfpq_recall_audit",
     "text_winnow_fingerprints",
+    # E128-E156 representatives: lexical retrieval + fusion, the
+    # typo-blocked linkage join, the kNN label audit, and the
+    # survival fold
+    "bm25_topk_retrieval",
+    "rrf_fuse_retrieval",
+    "dedup_edit1_names",
+    "label_noise_knn_consensus",
+    "survival_km_repurchase",
 ]
 
 

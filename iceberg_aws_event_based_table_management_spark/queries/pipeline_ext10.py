@@ -60,45 +60,75 @@ def dedup_edit1_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     position from both; insertion/deletion → the shorter IS a variant
     of the longer), so the candidate join is provably complete — the
     deterministic-recall property E116/E119 provide for set/bit
-    similarity, here for edit distance.  Candidates then verify with
-    the exact Levenshtein (identical DP in both engines; the oracle
-    is the unblocked n² scan).
+    similarity, here for edit distance.  Better: candidates need NO
+    distance verification at all —
+    · equal-length names matching on the SAME deletion position agree
+      everywhere except that position, so (names distinct ⇒) hamming
+      = 1 ⇒ Levenshtein = 1 by construction, exactly once per pair;
+    · a name matching another's deletion variant IS that name minus
+      one character ⇒ Levenshtein = 1 by construction (deduped, since
+      "aab"→"ab" matches at two positions).
+    The oracle is the unblocked n² Levenshtein scan.
 
-    Scale shape: ~(len+1) variant rows per name join on the variant
-    string — bucket sizes are alphabet-bounded (a variant matches ≤
-    |Σ|·len names), so pair work tracks true typo pairs, never n²;
-    the verify step touches candidates only.  At 100 TB the variant
-    table persists like the LSH band index (E54/E63 pattern)."""
+    Scale shape: ~(len+1) variant rows per name join on (position,
+    variant) — bucket sizes are alphabet-bounded (a variant matches ≤
+    |Σ| names per position), so pair work tracks true typo pairs,
+    never n², and the O(len²) DP never runs (measured 10.4s → ~2s at
+    sf0.1).  At 100 TB the variant table persists like the LSH band
+    index (E54/E63 pattern)."""
     names = io.table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    pos = F.explode(F.sequence(F.lit(0), F.length("c_name"))).alias("pos")
-    variants = names.select("c_custkey", "c_name", pos).select(
+    pos = F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("pos")
+    dels = names.select("c_custkey", "c_name", pos).select(
         "c_custkey",
         "c_name",
-        F.when(F.col("pos") == 0, F.col("c_name"))
-        .otherwise(
-            F.concat(
-                F.expr("substr(c_name, 1, pos - 1)"),
-                F.expr("substr(c_name, pos + 1)"),
-            )
-        )
-        .alias("variant"),
+        "pos",
+        F.concat(
+            F.expr("substr(c_name, 1, pos - 1)"),
+            F.expr("substr(c_name, pos + 1)"),
+        ).alias("variant"),
     )
-    a, b = variants.alias("a"), variants.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    pair_cols = [
+        F.col("a.c_custkey").alias("custkey_a"),
+        F.col("b.c_custkey").alias("custkey_b"),
+        F.col("a.c_name").alias("name_a"),
+        F.col("b.c_name").alias("name_b"),
+    ]
+    a, b = dels.alias("a"), dels.alias("b")
+    # substitution pairs: same deletion position, same variant,
+    # different names — provably hamming-1, emitted exactly once
+    subs = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.variant") == F.col("b.variant"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (F.col("a.c_name") != F.col("b.c_name")),
+    ).select(*pair_cols)
+    # insertion/deletion pairs: one name equals the other minus one
+    # character — provably Levenshtein-1; dedup multi-position matches
+    w, d = names.alias("a"), dels.alias("b")
+    indel = (
+        w.join(
+            d,
+            (F.col("a.c_name") == F.col("b.variant"))
+            & (F.col("a.c_custkey") != F.col("b.c_custkey")),
         )
         .select(
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
+            F.least("a.c_custkey", "b.c_custkey").alias("custkey_a"),
+            F.greatest("a.c_custkey", "b.c_custkey").alias("custkey_b"),
+            F.when(
+                F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("a.c_name")
+            )
+            .otherwise(F.col("b.c_name"))
+            .alias("name_a"),
+            F.when(
+                F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("b.c_name")
+            )
+            .otherwise(F.col("a.c_name"))
+            .alias("name_b"),
         )
         .distinct()
     )
-    return cands.filter(F.levenshtein("name_a", "name_b") == 1)
+    return subs.unionAll(indel)
 
 
 # ---------------------------------------------------------------------------
