@@ -51,6 +51,7 @@ def load() -> None:
         pipeline_ext10,
         pipeline_ext11,
         pipeline_ext12,
+        pipeline_ext13,
     )
 
     from .. import registry

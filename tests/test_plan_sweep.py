@@ -75,6 +75,7 @@ NESTED_LOOP_OK = {
     "rolling_distinct_users_7d",  # E153: retention-bounded day spine broadcast into the horizon range join
     "fair_share_allocation",  # E155: 1-row capacity + 1-row water-level broadcasts over the |tables| frame
     "rank_movers_nations",  # E156: 1-row date-span relation broadcast
+    "setop_bag_halves",  # E157: 1-row date-span relation broadcast
     "drift_chi_square_gate",  # E135: 1-row span + 1-row period-total broadcasts
     "quantile_normalize_lengths",  # E139: grid x grid CDF theta join — both sides length-bounded metadata, global grid broadcast
 }
