@@ -52,6 +52,7 @@ def load() -> None:
         pipeline_ext11,
         pipeline_ext12,
         pipeline_ext13,
+        pipeline_ext14,
     )
 
     from .. import registry
