@@ -53,6 +53,7 @@ def load() -> None:
         pipeline_ext12,
         pipeline_ext13,
         pipeline_ext14,
+        pipeline_ext15,
     )
 
     from .. import registry
