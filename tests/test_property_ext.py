@@ -88,3 +88,52 @@ def test_prefix_filter_complete_on_random_corpora(
         for r in qmap["dedup_prefix_filter_pairs"](spark, scratch).collect()
     }
     assert got == expect
+
+
+# --- E140: deletion-neighborhood edit-1 completeness ----------------------
+
+_NAME_ALPHABET = "abc"
+
+name_strategy = st.text(alphabet=_NAME_ALPHABET, min_size=2, max_size=6)
+names_strategy = st.lists(name_strategy, min_size=2, max_size=10, unique=True)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(names_strategy)
+def test_edit1_blocking_complete_on_random_names(
+    spark, tmp_path_factory, qmap, names
+):
+    """E140's no-verification claim must hold on arbitrary short
+    strings over a tiny alphabet (the collision-heavy worst case):
+    output pairs == the brute-force Levenshtein-1 pair set, exactly
+    — every substitution AND every insertion/deletion pair found,
+    nothing spurious, no duplicates."""
+    scratch = os.path.join(
+        str(tmp_path_factory.mktemp("edit1")), f"prop-{uuid.uuid4().hex}"
+    )
+    rows = [(i + 1, n, 0, 0.0, "SEG") for i, n in enumerate(names)]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(os.path.join(scratch, "customer.parquet"))
+    out = qmap["dedup_edit1_names"](spark, scratch).collect()
+    got = [(r.custkey_a, r.custkey_b) for r in out]
+    assert len(got) == len(set(got))  # no duplicate pairs
+    ids = {i + 1: n for i, n in enumerate(names)}
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(ids), 2)
+        if _lev(ids[a], ids[b]) == 1
+    }
+    assert set(got) == expect
