@@ -54,6 +54,7 @@ def load() -> None:
         pipeline_ext13,
         pipeline_ext14,
         pipeline_ext15,
+        pipeline_ext16,
     )
 
     from .. import registry
