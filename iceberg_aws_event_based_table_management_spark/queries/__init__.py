@@ -55,6 +55,7 @@ def load() -> None:
         pipeline_ext14,
         pipeline_ext15,
         pipeline_ext16,
+        pipeline_ext17,
     )
 
     from .. import registry

@@ -1,0 +1,190 @@
+"""Tier D (part 18) — series memory and co-movement (SURVEY.md §2-E
+E169-E170).
+
+Seventeenth batch: lag-1/lag-7 autocorrelation of the daily event
+series (does yesterday predict today; is there weekly seasonality —
+the ACF numbers behind E112's day-of-week profile) and the pairwise
+Pearson correlation matrix between event types' daily series (which
+signals co-move — the cross-stream dependence every incident
+post-mortem starts from).
+
+Exactness: deviations are n-scaled (n·x_t − S, exact int64), so
+covariance/variance sufficient statistics stay integral; Pearson's
+denominator uses sqrt, which IEEE-754 requires to be CORRECTLY
+ROUNDED — the one transcendental both engines are guaranteed to agree
+on bit-for-bit — followed by identically-parenthesized multiply/
+divide/floor.
+
+All built-in-function formulations; exact DuckDB oracles.  Imports
+pipeline_ext8's daily CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .pipeline_ext8 import _DAILY_CTE, _daily
+
+# ---------------------------------------------------------------------------
+# E169: lag-k autocorrelation
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7)
+
+
+def _acf_lag_sql(k: int) -> str:
+    return f"""
+             CAST(FLOOR((CAST(SUM(CASE WHEN lag{k} IS NULL THEN 0
+                                       ELSE (n_days * n - s) * (n_days * lag{k} - s)
+                                  END) AS DOUBLE)
+                         / CAST(SUM((n_days * n - s) * (n_days * n - s))
+                                AS DOUBLE)) * 1000000) AS BIGINT)"""
+
+
+@register(
+    "acf_daily_lags",
+    tier="D",
+    oracle="WITH "
+    + _DAILY_CTE
+    + f""",
+    lagged AS (
+      SELECT event_type, day, n,
+             LAG(n, 1) OVER w AS lag1,
+             LAG(n, 7) OVER w AS lag7,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           MIN(n_days) AS n_days,
+           {_acf_lag_sql(1)} AS acf1_ppm,
+           {_acf_lag_sql(7)} AS acf7_ppm
+    FROM lagged GROUP BY event_type
+    """,
+)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E169: autocorrelation of the daily event series at lags 1 and
+    7 — series memory (does yesterday predict today) and weekly
+    seasonality (the ACF evidence behind E112's day-of-week
+    profile).  ACF_k = Σ dev_t·dev_{t−k} / Σ dev_t² with the
+    deviations n-scaled (n_days·x_t − S — exact int64, no float mean
+    ever forms); the ratio crosses IEEE once, floored to ppm (can be
+    negative — floor toward −∞ in both engines).
+
+    Scale shape: the series collapses to (type, day); one per-type
+    window provides both lags and the scaling totals; one rollup."""
+    pw = Window.partitionBy("event_type").orderBy("day")
+    pall = Window.partitionBy("event_type")
+    lagged = _daily(spark, sf_dir).select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(pw).alias("lag1"),
+        F.lag("n", 7).over(pw).alias("lag7"),
+        F.count("*").over(pall).cast("long").alias("n_days"),
+        F.sum("n").over(pall).cast("long").alias("s"),
+    )
+    dev = F.col("n_days") * F.col("n") - F.col("s")
+
+    def acf(lagcol: str):
+        num = F.sum(
+            F.when(F.col(lagcol).isNull(), 0).otherwise(
+                dev * (F.col("n_days") * F.col(lagcol) - F.col("s"))
+            )
+        )
+        den = F.sum(dev * dev)
+        return (
+            F.floor((num.cast("double") / den.cast("double")) * 1000000)
+            .cast("long")
+        )
+
+    return lagged.groupBy("event_type").agg(
+        F.min("n_days").alias("n_days"),
+        acf("lag1").alias("acf1_ppm"),
+        acf("lag7").alias("acf7_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E170: pairwise series correlation matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "correlation_event_series",
+    tier="D",
+    oracle="WITH "
+    + _DAILY_CTE
+    + """,
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS x, b.n AS y
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    stats AS (
+      SELECT type_a, type_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_scaled,
+           CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                      * 1000000) AS BIGINT) AS pearson_ppm
+    FROM stats
+    """,
+)
+def correlation_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E170: pairwise Pearson correlation between event types' daily
+    series — the co-movement matrix (do errors spike with purchases;
+    which signals are redundant) every monitoring stack and incident
+    review reads first.  Sufficient statistics (n, Σx, Σy, Σx²,
+    Σy², Σxy) are exact int64; r = (n·Σxy − ΣxΣy) / (√(n·Σxx−Σx²)·
+    √(n·Σyy−Σy²)) crosses IEEE through sqrt — which IEEE-754
+    mandates be correctly rounded, so both engines agree bit-for-bit
+    — then one multiply, one divide, one floor, identically
+    parenthesized.
+
+    Scale shape: the series self-join is day-equi over (type, day)
+    metadata (|types|²/2 pairs per day); sufficient stats are one
+    partial-agg rollup — the mergeable streaming-regression state
+    (E110's five sums, here six)."""
+    daily = _daily(spark, sf_dir)
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("n").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("n").alias("y")
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    stats = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "type_a",
+        "type_b",
+        "n",
+        cov.cast("long").alias("cov_scaled"),
+        F.floor(
+            (cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+            * 1000000
+        )
+        .cast("long")
+        .alias("pearson_ppm"),
+    )
