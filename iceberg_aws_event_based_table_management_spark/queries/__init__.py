@@ -161,7 +161,30 @@ def load() -> None:
     # ann_ivfpq_recall_audit, pareto_revenue_concentration, and the
     # E123-E125 batch: graph_triangle_census,
     # session_first_purchase_mrr, files_composite_predicate_skipping —
-    # and anything built after this note)
+    # and the post-note batches E126-E170:
+    # langid_confusion_matrix, vocab_coverage_curve (ext7);
+    # bm25_topk_retrieval, pareto_skyline_customers,
+    # tree_split_gini_quantity, bollinger_breakout_days,
+    # cusum_changepoint_daily, ewma_daily_smoothing (ext8);
+    # apportion_token_budget, drift_chi_square_gate,
+    # mannwhitney_u_lengths, salting_plan_skewed_keys,
+    # graph_khop_reach, quantile_normalize_lengths (ext9);
+    # dedup_edit1_names, ohlc_daily_value, merge_user_intervals,
+    # cohort_ltv_weekly, rrf_fuse_retrieval,
+    # functional_dependency_audit (ext10);
+    # label_noise_knn_consensus, classifier_auc_exact,
+    # survival_km_repurchase, ratio_to_parent_revenue,
+    # calibration_reliability_bins (ext11);
+    # text_lexical_diversity, cumulative_unique_users,
+    # rolling_distinct_users_7d, shipping_lag_percentiles,
+    # fair_share_allocation, rank_movers_nations (ext12);
+    # setop_bag_halves, absence_view_no_purchase,
+    # max_concurrent_activity, rolling_median_spikes (ext13);
+    # mor_deletes_read, refs_aware_snapshot_expiry,
+    # two_tier_manifest_skipping, partition_evolution_scan (ext14);
+    # stream_ohlc_daily, business_days_lag (ext15);
+    # ks_two_sample_lengths, emd_lengths (ext16);
+    # acf_daily_lags, correlation_event_series (ext17))
     # plus whatever round-5 rows (if any) come back red in
     # CORRECTNESS_r05, with round-5 greens as the regression
     # canaries.
