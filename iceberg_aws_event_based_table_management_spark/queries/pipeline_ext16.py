@@ -61,9 +61,10 @@ _DD_GRID_CTE = f"""
            CAST(FLOOR((CAST(MAX(abs(cs_a * t_b - cs_b * t_a)) AS DOUBLE)
                        / CAST(MIN(t_a) * MIN(t_b) AS DOUBLE)) * 1000000)
                 AS BIGINT) AS ks_ppm,
-           (10000 * MAX(abs(cs_a * t_b - cs_b * t_a))
-                  * MAX(abs(cs_a * t_b - cs_b * t_a))
-            > 18496 * (MIN(t_a) + MIN(t_b)) * MIN(t_a) * MIN(t_b))
+           (10000.0 * CAST(MAX(abs(cs_a * t_b - cs_b * t_a)) AS DOUBLE)
+                    * CAST(MAX(abs(cs_a * t_b - cs_b * t_a)) AS DOUBLE)
+            > 18496.0 * CAST(MIN(t_a) + MIN(t_b) AS DOUBLE)
+                      * CAST(MIN(t_a) AS DOUBLE) * CAST(MIN(t_b) AS DOUBLE))
              AS is_significant
     FROM cum
     """,
@@ -74,8 +75,10 @@ def ks_two_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift test (E136's Mann-Whitney sees location shifts; KS sees ANY
     CDF divergence).  D's numerator is max|cs_a·t_b − cs_b·t_a| over
     the merged value grid — exact int64 — and the α=0.05 decision
-    D > 1.36·√((n+m)/nm) cross-multiplies to the pure integer test
-    10⁴·D_num² > 18496·(n+m)·n·m.
+    D > 1.36·√((n+m)/nm) cross-multiplies to
+    10⁴·D_num² > 18496·(n+m)·n·m, compared in doubles (bit-identical
+    across IEEE engines; the all-int64 form overflows past
+    d_num ≈ 3e7 and would THROW under ANSI mode at scale).
 
     Scale shape: one agg to the length grid (the E62/E130/E136
     metadata allowance), one cumulative window, a 1-row reduction."""
@@ -117,9 +120,18 @@ def ks_two_sample_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("ks_ppm"),
+        # Double-side comparison (both engines IEEE, left-assoc, so
+        # the rounding is bit-identical): the all-int64 form overflows
+        # once d_num passes ~3e7 — d_num can reach n1*n2 — and under
+        # ANSI mode that's a throw at scale, not a wrong bit.  The
+        # ~1e-16 relative slack only matters within 1 ulp of the
+        # alpha=0.05 boundary, far below statistical meaning.
         (
-            10000 * F.col("d_num") * F.col("d_num")
-            > 18496 * (F.col("n1") + F.col("n2")) * F.col("n1") * F.col("n2")
+            F.lit(10000.0) * F.col("d_num").cast("double") * F.col("d_num").cast("double")
+            > F.lit(18496.0)
+            * (F.col("n1") + F.col("n2")).cast("double")
+            * F.col("n1").cast("double")
+            * F.col("n2").cast("double")
         ).alias("is_significant"),
     )
 

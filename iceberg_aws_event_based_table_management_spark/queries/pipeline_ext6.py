@@ -306,6 +306,13 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast the per-doc shingle-set table only while its measured hash
+# payload stays under ~64 MB (8 bytes/shingle); beyond that the
+# verification joins shuffle on doc_id.  Module-level so tests can pin
+# it to 0 and lock the no-forced-broadcast plan shape.
+_PF_BCAST_MAX_SHINGLES = 8_000_000
+
+
 @register(
     "dedup_prefix_filter_pairs",
     tier="D",
@@ -356,14 +363,20 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(docw).alias("n"),
         )
         .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "n")
     )
+    # Length filter (lossless for J >= 0.5): n_common <= min(a,b) and
+    # J >= 1/2 force 2*min(a,b) >= max(a,b), so size-incompatible
+    # pairs can be dropped BEFORE the distinct — the PPJoin length
+    # bound [t*|A|, |A|/t] promised by SCALE.md's E116 row.
     cands = (
         pref.alias("pa")
         .join(
             pref.alias("pb"),
             (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pa.n") <= 2 * F.col("pb.n"))
+            & (F.col("pb.n") <= 2 * F.col("pa.n")),
         )
         .select(
             F.col("pa.doc_id").alias("doc_id_a"), F.col("pb.doc_id").alias("doc_id_b")
@@ -379,16 +392,20 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision-heavy tiny vocabulary).  n_common over 64-bit hashes
     # is exact up to a ~|A|·|B|/2⁶⁴ per-pair collision (the same
     # trade dedup_ngram_jaccard's hashed join keys make).  The set
-    # table is |docs| rows and explicitly broadcast (AQE won't —
-    # array payloads inflate its size estimate); at 100 TB it
-    # outgrows broadcast: shuffle-join it on doc_id, work still
-    # ∝ Σ_cand(|A|+|B|).
-    arrs = F.broadcast(
-        sh.groupBy("doc_id").agg(
-            F.sort_array(F.collect_list(F.xxhash64("shingle"))).alias("sset"),
-            F.count("*").alias("n"),
-        )
+    # table is |docs| rows with an 8·|shingles|-byte payload, so the
+    # broadcast decision is made on a MEASURED size, not Catalyst's
+    # estimate (which inflates array payloads): one count over the
+    # checkpointed shingle table (materializing the checkpoint the
+    # plan reuses 3×) gates an explicit broadcast under
+    # _PF_BCAST_MAX_SHINGLES (~64 MB of hash payload); above it the
+    # sets shuffle-join on doc_id — the 100 TB path, work still
+    # ∝ Σ_cand(|A|+|B|) — instead of OOMing the driver.
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.xxhash64("shingle"))).alias("sset"),
+        F.count("*").alias("n"),
     )
+    if sh.count() <= _PF_BCAST_MAX_SHINGLES:
+        arrs = F.broadcast(arrs)
     inter = (
         cands.join(
             arrs.select(

@@ -69,18 +69,59 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan bit-exact.
 
     Scale shape: fingerprints are one agg (64 bytes/doc state); the
-    block index is {k} rows/doc of three longs, equi-joined on
-    (block_no, block_value) — candidate counts track true near-dups
-    because a shared 15-bit block is a 2^-15 coincidence for random
-    docs; verification is map-side xor/popcount.  The oracle's
-    all-pairs form exists only as the audit."""
+    block index and self-join run over DISTINCT fingerprints only —
+    a real crawl's k-sized clusters of identical/templated docs share
+    one fingerprint, so the hot bucket the naive doc-level join pays
+    4k² rows for (r5 verdict #2) contributes exactly one index row
+    here, the Manku et al. dedup-first discipline.  Block rows are
+    three longs equi-joined on (block_no, block_value) — a shared
+    15-bit block is a 2^-15 coincidence for random fingerprints —
+    and popcount verification runs BEFORE member re-expansion, so
+    join work tracks distinct fingerprints and near-dup fp pairs;
+    only the final member-pair emission is ∝ the k² OUTPUT the pair
+    semantics inherently demand (hamming-0 pairs come from a
+    same-fingerprint self-join whose work IS its output).  The
+    oracle's all-pairs form exists only as the audit."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     fps = D.simhash(docs, bits=_HAM_BLOCKS * _HAM_BLOCK_BITS).localCheckpoint(
         eager=False
     )
+    fpairs = _simhash_fp_candidate_pairs(fps.select("simhash").distinct())
+    ma = fps.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
+    mb = fps.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    cross = (
+        fpairs.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("da", "db").alias("doc_id_a"),
+            F.greatest("da", "db").alias("doc_id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        fps.alias("x")
+        .join(
+            fps.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _simhash_fp_candidate_pairs(ufp: DataFrame) -> DataFrame:
+    """Hamming-ball search over a table of DISTINCT `simhash` values:
+    pigeonhole block index -> equi-join -> popcount verify.  Returns
+    (sh_a < sh_b, hamming) for every distinct-fingerprint pair within
+    _HAM_MAX_DIST.  Split out so the property test can bound the
+    candidate volume independently of member re-expansion."""
     mask = (1 << _HAM_BLOCK_BITS) - 1
-    blocks = fps.select(
-        "doc_id",
+    blocks = ufp.select(
         "simhash",
         F.explode(
             F.array(
@@ -95,28 +136,25 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("blk"),
-    ).select("doc_id", "simhash", "blk.block_no", "blk.block_val")
+    ).select("simhash", "blk.block_no", "blk.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
-    cands = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast(
+        "long"
+    )
+    return (
         a.join(
             b,
             (F.col("a.block_no") == F.col("b.block_no"))
             & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
+        .filter(hamming <= _HAM_MAX_DIST)
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= _HAM_MAX_DIST)
-        .select("doc_id_a", "doc_id_b", "hamming")
     )
 
 

@@ -324,3 +324,28 @@ def test_funnel_runs_on_one_exchange(spark, sf_dir, qmap):
     )
     assert n_ex == 1, plan
     assert plan.count("Sort [") == 1, plan
+
+
+def test_prefix_filter_broadcast_is_size_conditional(spark, sf_dir, qmap, monkeypatch):
+    """E116's verification joins broadcast the per-doc shingle-set
+    table only while its MEASURED payload fits (r5 verdict #2): with
+    the cap pinned to 0 (simulating a 100 TB corpus) no broadcast
+    hint may be forced anywhere in the plan — Catalyst is free to
+    pick its own build sides from estimates, but the corpus-sized set
+    table must not be pinned to one — and the shuffle path must
+    return the identical pair set."""
+    from iceberg_aws_event_based_table_management_spark.queries import pipeline_ext6
+
+    q = qmap["dedup_prefix_filter_pairs"]
+    baseline = {
+        (r.doc_id_a, r.doc_id_b): (r.n_common, r.jaccard) for r in q(spark, sf_dir).collect()
+    }
+    analyzed = q(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, "small corpus: both set joins hinted"
+
+    monkeypatch.setattr(pipeline_ext6, "_PF_BCAST_MAX_SHINGLES", 0)
+    big = q(spark, sf_dir)
+    analyzed = big._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "oversized set table still force-broadcast"
+    got = {(r.doc_id_a, r.doc_id_b): (r.n_common, r.jaccard) for r in big.collect()}
+    assert got == baseline

@@ -137,3 +137,48 @@ def test_edit1_blocking_complete_on_random_names(
         if _lev(ids[a], ids[b]) == 1
     }
     assert set(got) == expect
+
+
+def test_simhash_hamming_hot_cluster_candidates_track_distinct_fps(
+    spark, tmp_path_factory, qmap
+):
+    """r5 verdict #3: a 100-copy doc cluster (one fingerprint) must
+    cost the block join ONE index entry, not 100 — candidate volume
+    tracks distinct fingerprints, while the k^2 member pairs appear
+    only in the final output, which is inherently k^2.  Results stay
+    brute-force exact."""
+    from iceberg_aws_event_based_table_management_spark.operators import dedup as D
+    from iceberg_aws_event_based_table_management_spark import io as eio
+    from iceberg_aws_event_based_table_management_spark.queries.pipeline_ext7 import (
+        _simhash_fp_candidate_pairs,
+    )
+
+    hot = ["h1 h2 h3 h4 h5 h6 h7 h8"] * 100
+    singles = [" ".join(f"u{i}_{j}" for j in range(8)) for i in range(10)]
+    texts = hot + singles
+    scratch = _write_corpus(
+        spark, str(tmp_path_factory.mktemp("hotfp")), [t.split() for t in texts]
+    )
+    docs = eio.table(spark, scratch, "documents").select("doc_id", "text")
+    fps = {r.doc_id: r.simhash for r in D.simhash(docs, bits=60).collect()}
+    u = len(set(fps.values()))
+    assert u <= 11, "100 copies must collapse to one fingerprint"
+    n_cands = _simhash_fp_candidate_pairs(
+        docs.sparkSession.createDataFrame(
+            [(v,) for v in set(fps.values())], "simhash long"
+        )
+    ).count()
+    assert n_cands <= u * (u - 1) // 2, "candidates exceed distinct-fp pairs"
+    ids = sorted(fps)
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in qmap["dedup_simhash_hamming"](spark, scratch).collect()
+    }
+    assert got == brute
+    assert sum(1 for h in got.values() if h == 0) >= 100 * 99 // 2
