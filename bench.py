@@ -98,16 +98,25 @@ def main() -> None:
     qmap["scan_parquet"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm codegen
+        cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
 
     total = round(sum(timings.values()), 3)
+    # queries_cold / queries_runs let a reviewer separate uniform
+    # environment inflation (cold and warm move together across
+    # rounds) from a plan regression (warm medians move alone) —
+    # the r5 verdict's ask — without re-running anything.
     print(
         json.dumps(
             {
@@ -115,6 +124,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "queries_runs": all_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
