@@ -83,33 +83,55 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-fingerprint self-join whose work IS its output).  The
     oracle's all-pairs form exists only as the audit."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = D.simhash(docs, bits=_HAM_BLOCKS * _HAM_BLOCK_BITS).localCheckpoint(
-        eager=False
+    fps = D.simhash(docs, bits=_HAM_BLOCKS * _HAM_BLOCK_BITS)
+    # ONE groupBy yields everything the doc level needs: the distinct
+    # fingerprints (group keys) for the block join, the sorted member
+    # list per fingerprint for re-expansion, and the hamming-0 pairs
+    # (emitted map-side from each group's array — no second self-join
+    # shuffle).  Checkpointed: it feeds four plan branches.
+    groups = (
+        fps.groupBy("simhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("members"))
+        .localCheckpoint(eager=False)
     )
-    fpairs = _simhash_fp_candidate_pairs(fps.select("simhash").distinct())
-    ma = fps.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
-    mb = fps.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    fpairs = _simhash_fp_candidate_pairs(groups.select("simhash"))
     cross = (
-        fpairs.join(ma, "sh_a")
-        .join(mb, "sh_b")
+        fpairs.join(
+            groups.select(F.col("simhash").alias("sh_a"), F.col("members").alias("ma")),
+            "sh_a",
+        )
+        .join(
+            groups.select(F.col("simhash").alias("sh_b"), F.col("members").alias("mb")),
+            "sh_b",
+        )
+        .select(F.explode("ma").alias("da"), "mb", "hamming")
+        .select("da", F.explode("mb").alias("db"), "hamming")
         .select(
             F.least("da", "db").alias("doc_id_a"),
             F.greatest("da", "db").alias("doc_id_b"),
             "hamming",
         )
     )
+    # members is ascending, so pairing each element with its suffix
+    # emits every (a < b) member pair exactly once (the jaccard_pairs
+    # in-group emission pattern)
+    intra_pairs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("members"),
+                    i + 2,
+                    F.greatest(F.size("members") - i - 1, F.lit(1)),
+                ),
+                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
+            ),
+        )
+    )
     intra = (
-        fps.alias("x")
-        .join(
-            fps.alias("y"),
-            (F.col("x.simhash") == F.col("y.simhash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_id_a"),
-            F.col("y.doc_id").alias("doc_id_b"),
-            F.lit(0).cast("long").alias("hamming"),
-        )
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode(intra_pairs).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b", F.lit(0).cast("long").alias("hamming"))
     )
     return cross.unionByName(intra)
 
