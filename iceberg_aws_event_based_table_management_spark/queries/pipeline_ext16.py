@@ -164,7 +164,11 @@ def emd_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the magnitude every drift dashboard wants beside the verdict.
     The stepwise-constant CDF makes the integral a finite sum of
     exact int64 terms; only the final normalization crosses IEEE
-    (two ops, identically parenthesized).
+    (two ops, identically parenthesized).  Overflow headroom: the
+    terms are non-negative, so each is bounded by the emd_num total —
+    int64 arithmetic here can only overflow when the declared BIGINT
+    output itself cannot hold the answer (unlike E167's internal
+    square, which outgrew int64 while the answer still fit).
 
     Scale shape: identical to E167 — grid agg, one cumulative window
     carrying a LEAD for gap widths, 1-row reduction."""

@@ -8,8 +8,11 @@ Pearson correlation matrix between event types' daily series (which
 signals co-move — the cross-stream dependence every incident
 post-mortem starts from).
 
-Exactness: deviations are n-scaled (n·x_t − S, exact int64), so
-covariance/variance sufficient statistics stay integral; Pearson's
+Exactness: deviations are n-scaled (n·x_t − S, exact int64), and the
+covariance/variance sufficient statistics accumulate those products
+in decimal(38,0) (Spark) / HUGEINT (DuckDB) — still exact integers,
+but with the headroom the squared/cross terms need at ~1e9 events/day
+where int64 throws under ANSI (the E167 overflow class).  Pearson's
 denominator uses sqrt, which IEEE-754 requires to be CORRECTLY
 ROUNDED — the one transcendental both engines are guaranteed to agree
 on bit-for-bit — followed by identically-parenthesized multiply/
@@ -35,11 +38,17 @@ _ACF_LAGS = (1, 7)
 
 
 def _acf_lag_sql(k: int) -> str:
+    # dev products run in HUGEINT (int128): each n-scaled deviation
+    # fits int64 easily (n_days is calendar-bounded), but dev² is
+    # quartic in daily volume and outgrows int64 near 1e9 events/day
+    # — the E167 overflow class, pre-empted here
     return f"""
              CAST(FLOOR((CAST(SUM(CASE WHEN lag{k} IS NULL THEN 0
-                                       ELSE (n_days * n - s) * (n_days * lag{k} - s)
+                                       ELSE CAST(n_days * n - s AS HUGEINT)
+                                            * (n_days * lag{k} - s)
                                   END) AS DOUBLE)
-                         / CAST(SUM((n_days * n - s) * (n_days * n - s))
+                         / CAST(SUM(CAST(n_days * n - s AS HUGEINT)
+                                    * (n_days * n - s))
                                 AS DOUBLE)) * 1000000) AS BIGINT)"""
 
 
@@ -71,8 +80,10 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonality (the ACF evidence behind E112's day-of-week
     profile).  ACF_k = Σ dev_t·dev_{t−k} / Σ dev_t² with the
     deviations n-scaled (n_days·x_t − S — exact int64, no float mean
-    ever forms); the ratio crosses IEEE once, floored to ppm (can be
-    negative — floor toward −∞ in both engines).
+    ever forms); the dev PRODUCTS accumulate in decimal(38,0)/HUGEINT
+    (dev² is quartic in daily volume — int64 throws under ANSI near
+    1e9 events/day); the ratio crosses IEEE once, floored to ppm (can
+    be negative — floor toward −∞ in both engines).
 
     Scale shape: the series collapses to (type, day); one per-type
     window provides both lags and the scaling totals; one rollup."""
@@ -86,15 +97,20 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(pall).cast("long").alias("n_days"),
         F.sum("n").over(pall).cast("long").alias("s"),
     )
-    dev = F.col("n_days") * F.col("n") - F.col("s")
+    # each n-scaled deviation fits int64 (n_days is calendar-bounded);
+    # the PRODUCT of two is quartic in daily volume, so it runs in
+    # decimal(38,0) — exact, deterministic, and ANSI-safe where int64
+    # would throw near 1e9 events/day (the E167 overflow class)
+    dev = (F.col("n_days") * F.col("n") - F.col("s")).cast("decimal(19,0)")
 
     def acf(lagcol: str):
+        lag_dev = (F.col("n_days") * F.col(lagcol) - F.col("s")).cast("decimal(19,0)")
         num = F.sum(
-            F.when(F.col(lagcol).isNull(), 0).otherwise(
-                dev * (F.col("n_days") * F.col(lagcol) - F.col("s"))
+            F.when(F.col(lagcol).isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+                (dev * lag_dev).cast("decimal(38,0)")
             )
         )
-        den = F.sum(dev * dev)
+        den = F.sum((dev * dev).cast("decimal(38,0)"))
         return (
             F.floor((num.cast("double") / den.cast("double")) * 1000000)
             .cast("long")
@@ -126,14 +142,14 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT type_a, type_b,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
       FROM pairs GROUP BY 1, 2
     )
-    SELECT type_a, type_b, n,
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n,
            CAST(n * sxy - sx * sy AS BIGINT) AS cov_scaled,
            CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
@@ -147,11 +163,13 @@ def correlation_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — the co-movement matrix (do errors spike with purchases;
     which signals are redundant) every monitoring stack and incident
     review reads first.  Sufficient statistics (n, Σx, Σy, Σx²,
-    Σy², Σxy) are exact int64; r = (n·Σxy − ΣxΣy) / (√(n·Σxx−Σx²)·
-    √(n·Σyy−Σy²)) crosses IEEE through sqrt — which IEEE-754
-    mandates be correctly rounded, so both engines agree bit-for-bit
-    — then one multiply, one divide, one floor, identically
-    parenthesized.
+    Σy², Σxy) are exact integers accumulated in decimal(38,0)/
+    HUGEINT (Σx² is quadratic and n·Σxy cubic in daily volume —
+    int64 throws under ANSI near 1e9 events/day, the E167 overflow
+    class); r = (n·Σxy − ΣxΣy) / (√(n·Σxx−Σx²)·√(n·Σyy−Σy²))
+    crosses IEEE through sqrt — which IEEE-754 mandates be correctly
+    rounded, so both engines agree bit-for-bit — then one multiply,
+    one divide, one floor, identically parenthesized.
 
     Scale shape: the series self-join is day-equi over (type, day)
     metadata (|types|²/2 pairs per day); sufficient stats are one
@@ -165,21 +183,27 @@ def correlation_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("type_b"), "day", F.col("n").alias("y")
     )
     pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    # second-moment sums and their n-scaled combinations run in
+    # decimal(38,0): Σx² is quadratic in daily volume and n·Σxy
+    # cubic, so int64 throws under ANSI near 1e9 events/day (the
+    # E167 overflow class); first moments stay int64-safe but ride
+    # along in decimal so every combination below is one type
+    xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
     stats = pairs.groupBy("type_a", "type_b").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.count("*").cast("decimal(19,0)").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     )
-    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
     return stats.select(
         "type_a",
         "type_b",
-        "n",
+        F.col("n").cast("long").alias("n"),
         cov.cast("long").alias("cov_scaled"),
         F.floor(
             (cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
