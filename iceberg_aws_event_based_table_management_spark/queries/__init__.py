@@ -198,6 +198,13 @@ def load() -> None:
     ordered += [n for n in staged_r7 if n not in set(ordered)]
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]
     registry.demote(*ordered)
+    # Self-maintaining rotation on top of the manual order: any query
+    # with a green driver row in the repo's CORRECTNESS_r*.json records
+    # is stably demoted, so once CORRECTNESS_r06 lands the round-7
+    # window automatically becomes the first 50 staged_r7 names (red
+    # rows stay in front for re-grading) — the window can never again
+    # point at already-graded queries even if nobody edits this file.
+    registry.rotate_graded(registry.driver_green_names())
 
     _LOADED = True
 

@@ -50,6 +50,50 @@ def demote(*names: str) -> None:
         QUERIES[n] = QUERIES.pop(n)
 
 
+def driver_green_names(records: list[dict[str, dict]] | None = None) -> set[str]:
+    """Names with a GREEN driver correctness row on record.
+
+    Reads the repo's CORRECTNESS_r*.json files (the driver's per-round
+    grading output) unless `records` is injected.  Green = value-hash
+    match with no error; a query registered WITHOUT an oracle can only
+    ever earn the weaker rows-only row, so rows_match counts for it —
+    otherwise it would squat in every future grading window.
+    """
+    if records is None:
+        import glob
+        import json
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        records = []
+        for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+            try:
+                with open(path) as fh:
+                    records.append(json.load(fh))
+            except (OSError, ValueError):
+                continue
+    green: set[str] = set()
+    for rec in records:
+        if not isinstance(rec, dict):
+            continue
+        for name, row in rec.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            rows_only = name in QUERIES and QUERIES[name].oracle is None
+            if row.get("hash_match") or (rows_only and row.get("rows_match")):
+                green.add(name)
+    return green
+
+
+def rotate_graded(green: set[str]) -> None:
+    """Self-maintaining grading rotation: stably demote every query
+    that already has a green driver row, so the first-50 window always
+    points at never-green entries in their staged order — no manual
+    window edit needed between rounds."""
+    for n in [n for n in QUERIES if n in green]:
+        QUERIES[n] = QUERIES.pop(n)
+
+
 def query_map() -> dict[str, QueryFn]:
     return {q.name: q.fn for q in QUERIES.values()}
 
