@@ -194,17 +194,98 @@ def load() -> None:
         "acf_daily_lags",
         "correlation_event_series",
     ]
+    # ROUND-8 PLAN (hand-authored now, per the r7 verdict): once the
+    # round-7 window — the first 50 staged_r7 names — is graded, only
+    # the 9 names below remain never-driver-graded.  Round 8's window
+    # is those 9 plus 41 PINNED regression canaries: known-green
+    # queries deliberately re-graded to catch driver-format drift (the
+    # r4 lesson) and plan-rewrite regressions (E116/E119 in r6, the
+    # E26/E101 star-component swap in r7).  The canary set is the
+    # bench HEADLINE mix (every family: control plane, relational,
+    # maintenance, dedup/similarity/retrieval, text, streaming,
+    # sketches, SCD2) plus the three queries rewritten after their
+    # green row this round and a table-format/streaming pair.  Round 9
+    # should rotate in a FRESH canary sample — don't reuse this list.
+    tail_r8 = [
+        "setop_bag_halves",
+        "absence_view_no_purchase",
+        "max_concurrent_activity",
+        "rolling_median_spikes",
+        "business_days_lag",
+        "ks_two_sample_lengths",
+        "emd_lengths",
+        "acf_daily_lags",
+        "correlation_event_series",
+    ]
+    canaries_r8 = [
+        # rewritten after green (highest re-grade value)
+        "dedup_cluster_survivors",
+        "split_cluster_holdout",
+        "dedup_prefix_filter_pairs",
+        "dedup_simhash_hamming",
+        # earliest greens (r2) — most exposed to format drift
+        "should_optimize_decision",
+        "agg_pricing_summary",
+        "join_inner_orders_customer",
+        "window_rank_orders_per_cust",
+        "topk_orders_by_price",
+        "binpack_group_assignment",
+        "dedup_exact_documents",
+        # family representatives (the bench HEADLINE mix)
+        "merge_upsert_orders",
+        "composite_shipping_priority",
+        "pipeline_training_corpus",
+        "pipeline_rag_corpus",
+        "dedup_ngram_jaccard",
+        "topk_similarity_bruteforce",
+        "similarity_knn_join",
+        "similarity_threshold_pairs",
+        "text_token_stats",
+        "explode_unnest_tokens",
+        "stream_tumbling_commits_per_hour",
+        "dedup_incremental_neardup",
+        "tfidf_top_terms",
+        "text_boilerplate_ngrams",
+        "quantile_histogram_sketch",
+        "dedup_semantic_semdedup",
+        "dedup_segment_windows",
+        "text_quality_classifier",
+        "event_funnel_conversion",
+        "sketch_heavy_hitters_cms",
+        "scd2_user_state_intervals",
+        "linkage_blocked_nearest_name",
+        "ann_ivfpq_recall_audit",
+        "text_winnow_fingerprints",
+        "bm25_topk_retrieval",
+        "rrf_fuse_retrieval",
+        "dedup_edit1_names",
+        "label_noise_knn_consensus",
+        # table-format + streaming coverage
+        "stream_static_enrichment",
+        "refs_aware_snapshot_expiry",
+    ]
+
     ordered = window_r6
     ordered += [n for n in staged_r7 if n not in set(ordered)]
     ordered += [n for n in registry.QUERIES if n not in set(ordered)]
     registry.demote(*ordered)
+
     # Self-maintaining rotation on top of the manual order: any query
     # with a green driver row in the repo's CORRECTNESS_r*.json records
-    # is stably demoted, so once CORRECTNESS_r06 lands the round-7
-    # window automatically becomes the first 50 staged_r7 names (red
-    # rows stay in front for re-grading) — the window can never again
-    # point at already-graded queries even if nobody edits this file.
-    registry.rotate_graded(registry.driver_green_names())
+    # is stably demoted, so the round-7 window is automatically the
+    # first 50 staged_r7 names (red rows stay in front for re-grading).
+    # Once the never-green backlog shrinks to the 9-name tail, the
+    # regime flips: the hand-authored round-8 window (tail + pinned
+    # canaries) wins, and rotate_graded cannot evict the canaries.
+    green = registry.driver_green_names()
+    backlog = [n for n in ordered if n not in green]
+    if len(backlog) <= len(tail_r8):
+        window = tail_r8 + [n for n in canaries_r8 if n not in set(tail_r8)]
+        rest = [n for n in registry.QUERIES if n not in set(window)]
+        registry.demote(*(window + rest))
+        registry.rotate_graded(green, pinned=set(window))
+    else:
+        registry.rotate_graded(green)
 
     _LOADED = True
 

@@ -63,6 +63,7 @@ def driver_green_names(records: list[dict[str, dict]] | None = None) -> set[str]
         import glob
         import json
         import os
+        import warnings
 
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         records = []
@@ -70,7 +71,16 @@ def driver_green_names(records: list[dict[str, dict]] | None = None) -> set[str]
             try:
                 with open(path) as fh:
                     records.append(json.load(fh))
-            except (OSError, ValueError):
+            except (OSError, ValueError) as exc:
+                # A grading record that exists but cannot be parsed
+                # changes the next window's composition; that must not
+                # happen silently (round-7 ADVICE).
+                warnings.warn(
+                    f"unparseable driver correctness record {path!r}: {exc}; "
+                    "its greens are excluded from grading rotation",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 continue
     green: set[str] = set()
     for rec in records:
@@ -85,12 +95,20 @@ def driver_green_names(records: list[dict[str, dict]] | None = None) -> set[str]
     return green
 
 
-def rotate_graded(green: set[str]) -> None:
+def rotate_graded(green: set[str], *, pinned: frozenset[str] | set[str] = frozenset()) -> None:
     """Self-maintaining grading rotation: stably demote every query
     that already has a green driver row, so the first-50 window always
     points at never-green entries in their staged order — no manual
-    window edit needed between rounds."""
-    for n in [n for n in QUERIES if n in green]:
+    window edit needed between rounds.
+
+    `pinned` names are exempt from demotion even when green: the
+    hand-authored window wins for them.  This is what makes regression
+    canaries possible (deliberately re-grading known-green queries to
+    catch driver-format drift or plan-rewrite regressions — the r4
+    lesson); without it a query could never be re-graded after its
+    first green row (round-7 ADVICE, medium).
+    """
+    for n in [n for n in QUERIES if n in green and n not in pinned]:
         QUERIES[n] = QUERIES.pop(n)
 
 
