@@ -20,6 +20,8 @@ perturbing the rotation order of earlier registrations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -313,6 +315,34 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PF_BCAST_MAX_SHINGLES = 8_000_000
 
 
+def _pf_estimated_shingles(sf_dir: str) -> int:
+    """Conservative shingle-count estimate from documents.parquet's
+    on-disk size — pure driver-side file metadata, no Spark job, so
+    building the E116 DataFrame stays LAZY (round-7 ADVICE: the
+    previous measured `sh.count()` ran full shingle extraction over
+    the corpus as a plan-construction side effect — explain/plan
+    tests/bench each paid a corpus scan, and at 100 TB plan build
+    alone would be a multi-minute job).  Calibration: 1 byte of
+    compressed parquet ≈ 2-4 bytes of text ≈ 0.5 word-3-shingles, so
+    counting 1 shingle per byte over-estimates ~2×; over-estimating
+    only pushes toward the doc_id shuffle join, which is the
+    scale-safe path anyway (the broadcast is a small-corpus fast
+    path, never a correctness dependency)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+    except OSError:
+        # Unknown size (remote/object-store path): never force the
+        # broadcast — fall back to the shuffle join and let AQE decide.
+        return _PF_BCAST_MAX_SHINGLES + 1
+
+
 @register(
     "dedup_prefix_filter_pairs",
     tier="D",
@@ -393,10 +423,10 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is exact up to a ~|A|·|B|/2⁶⁴ per-pair collision (the same
     # trade dedup_ngram_jaccard's hashed join keys make).  The set
     # table is |docs| rows with an 8·|shingles|-byte payload, so the
-    # broadcast decision is made on a MEASURED size, not Catalyst's
-    # estimate (which inflates array payloads): one count over the
-    # checkpointed shingle table (materializing the checkpoint the
-    # plan reuses 3×) gates an explicit broadcast under
+    # broadcast decision is gated on the source parquet's ON-DISK
+    # size (cheap driver metadata — construction stays lazy, no
+    # corpus-scanning count job at plan-build time), conservatively
+    # converted to a shingle estimate and compared against
     # _PF_BCAST_MAX_SHINGLES (~64 MB of hash payload); above it the
     # sets shuffle-join on doc_id — the 100 TB path, work still
     # ∝ Σ_cand(|A|+|B|) — instead of OOMing the driver.
@@ -404,7 +434,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(F.xxhash64("shingle"))).alias("sset"),
         F.count("*").alias("n"),
     )
-    if sh.count() <= _PF_BCAST_MAX_SHINGLES:
+    if _pf_estimated_shingles(sf_dir) <= _PF_BCAST_MAX_SHINGLES:
         arrs = F.broadcast(arrs)
     inter = (
         cands.join(

@@ -337,6 +337,21 @@ def test_prefix_filter_broadcast_is_size_conditional(spark, sf_dir, qmap, monkey
     from iceberg_aws_event_based_table_management_spark.queries import pipeline_ext6
 
     q = qmap["dedup_prefix_filter_pairs"]
+
+    # Construction must be LAZY (round-7 ADVICE): the broadcast gate
+    # reads file metadata, never runs a Spark action — building the
+    # DataFrame with actions forbidden must succeed.
+    import pyspark.sql as _psql
+
+    def _no_action(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("query construction triggered a Spark action")
+
+    for action in ("count", "collect", "take", "head"):
+        monkeypatch.setattr(_psql.DataFrame, action, _no_action)
+    lazy_df = q(spark, sf_dir)
+    monkeypatch.undo()
+    assert lazy_df is not None
+
     baseline = {
         (r.doc_id_a, r.doc_id_b): (r.n_common, r.jaccard) for r in q(spark, sf_dir).collect()
     }
