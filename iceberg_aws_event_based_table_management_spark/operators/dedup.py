@@ -276,12 +276,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     output), which is duplicate-count-sized, not corpus-sized; each
     round is one join + one agg, localCheckpoint'ed to truncate
     lineage.  The convergence check counts changed labels — bounded
-    metadata, not data.  Exhausting max_iters without convergence
-    RAISES rather than returning silently-wrong partial labels (a
-    chain of diameter > max_iters would otherwise split one cluster
-    into several).  At extreme scale swap for
-    `connected_components_star` below (same join primitives,
-    O(log^2 n) rounds on any graph shape)."""
+    metadata, not data.  ADAPTIVE: exhausting max_iters without
+    convergence means the graph's diameter exceeds the round cap (a
+    pathological duplicate CHAIN at production scale); rather than
+    failing — or worse, returning silently-split components — the
+    graph is handed to `connected_components_star` below, whose
+    large-star/small-star contraction converges in O(log^2 n) rounds
+    on ANY shape.  Shallow graphs (the overwhelmingly common near-dup
+    case) never pay the extra machinery; deep ones never hit a cliff."""
     edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -314,11 +316,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         if changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds; "
-            "the pair graph has a component of extreme diameter - raise "
-            "max_iters or switch to the large-star/small-star contraction"
-        )
+        # Diameter > max_iters: adaptive fallback to star contraction
+        # (r7 verdict #3).  Result is identical by definition —
+        # both return (doc_id, component_id = min doc_id).
+        return connected_components_star(pairs, max_rounds=40)
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
