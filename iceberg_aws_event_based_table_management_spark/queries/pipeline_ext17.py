@@ -30,6 +30,30 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .pipeline_ext8 import _DAILY_CTE, _daily
 
+def _no_silent_overflow(c, what: str):
+    """Fail-stop guard for the decimal(38,0) sufficient-statistic
+    combinations: under non-ANSI Spark a decimal overflow surfaces as
+    NULL, while the DuckDB oracle's HUGEINT arithmetic THROWS — past
+    the documented ~1e9 events/day exact-integer headroom the two
+    engines would silently diverge (NULL rows vs an error).  Every
+    overflow-capable combination is wrapped so Spark also fails
+    LOUDLY: the inputs here are counts and sums over a non-empty
+    group and can only be NULL via overflow, so the WHEN branch
+    evaluates raise_error exactly when the oracle would have thrown
+    (round-7 ADVICE — divergence becomes a matching error, not a
+    hash mismatch)."""
+    return F.when(
+        c.isNull(),
+        F.raise_error(
+            F.lit(
+                f"{what}: decimal(38,0) overflow in sufficient statistics "
+                "(beyond the ~1e9 events/day exact-integer headroom; "
+                "the DuckDB oracle's HUGEINT throws at the same point)"
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(c)
+
+
 # ---------------------------------------------------------------------------
 # E169: lag-k autocorrelation
 # ---------------------------------------------------------------------------
@@ -105,12 +129,17 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def acf(lagcol: str):
         lag_dev = (F.col("n_days") * F.col(lagcol) - F.col("s")).cast("decimal(19,0)")
-        num = F.sum(
-            F.when(F.col(lagcol).isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
-                (dev * lag_dev).cast("decimal(38,0)")
-            )
+        num = _no_silent_overflow(
+            F.sum(
+                F.when(F.col(lagcol).isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
+                    (dev * lag_dev).cast("decimal(38,0)")
+                )
+            ),
+            f"E169 acf num({lagcol})",
         )
-        den = F.sum((dev * dev).cast("decimal(38,0)"))
+        den = _no_silent_overflow(
+            F.sum((dev * dev).cast("decimal(38,0)")), f"E169 acf den({lagcol})"
+        )
         return (
             F.floor((num.cast("double") / den.cast("double")) * 1000000)
             .cast("long")
@@ -197,9 +226,20 @@ def correlation_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
         F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
     )
-    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    # cov/vx/vy jointly touch all six sums, so a NULL from any
+    # overflowed accumulator or combination is caught by the guards
+    cov = _no_silent_overflow(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)"),
+        "E170 cov",
+    )
+    vx = _no_silent_overflow(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)"),
+        "E170 var_x",
+    )
+    vy = _no_silent_overflow(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)"),
+        "E170 var_y",
+    )
     return stats.select(
         "type_a",
         "type_b",

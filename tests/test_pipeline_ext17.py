@@ -80,3 +80,28 @@ def test_correlation_symmetric_bounds_and_python_parity(spark, sf_dir, qmap):
             )
             assert r.pearson_ppm == expect
             assert -1_000_000 <= r.pearson_ppm <= 1_000_000
+
+
+def test_overflow_guard_fail_stops(spark):
+    """The decimal(38,0) combinations must fail LOUDLY on overflow
+    (matching the DuckDB oracle's HUGEINT throw), never silently NULL
+    a row (round-7 ADVICE): a NULL reaching the guard — only possible
+    via overflow in these queries — raises, a real value passes
+    through untouched."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_aws_event_based_table_management_spark.queries.pipeline_ext17 import (
+        _no_silent_overflow,
+    )
+
+    ok = spark.range(1).select(
+        _no_silent_overflow(F.lit(7).cast("decimal(38,0)"), "t").alias("c")
+    )
+    assert ok.collect()[0].c == 7
+
+    bad = spark.range(1).select(
+        _no_silent_overflow(F.lit(None).cast("decimal(38,0)"), "t").alias("c")
+    )
+    with pytest.raises(Exception, match="overflow"):
+        bad.collect()
