@@ -46,3 +46,24 @@ def test_compact_headline_line_is_last_and_minimal():
     assert "queries_runs" not in last and "queries_cold" not in last
     # the verbose transparency record exists and comes BEFORE it
     assert any("queries_runs" in p for p in payloads[:-1]), payloads
+
+
+def test_headline_names_are_registered():
+    """Every bench HEADLINE query must exist in the registry — a
+    rename/demotion that breaks bench.py would otherwise only surface
+    as a KeyError in the driver's per-round bench run."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location("bench", str(BENCH))
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", bench)
+    spec.loader.exec_module(bench)
+
+    import iceberg_aws_event_based_table_management_spark as engine
+
+    engine.load_all_queries()
+    qmap = engine.query_map()
+    missing = [n for n in bench.HEADLINE if n not in qmap]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline names"
