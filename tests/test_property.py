@@ -270,6 +270,39 @@ def test_star_contraction_matches_union_find(spark, edges):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_jgraph)
+def test_adaptive_fallback_matches_union_find(spark, edges):
+    """connected_components with max_iters=1 — forcing the round-7
+    adaptive star-contraction fallback on (almost) every input — still
+    equals a literal union-find on random graph shapes, not just the
+    chain the deep-chain test plants."""
+    from iceberg_aws_event_based_table_management_spark.operators import dedup as D
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    pairs = spark.createDataFrame(canon, "doc_id_a long, doc_id_b long")
+    got = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(pairs, max_iters=1).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in canon:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Round-5 operators: funnel + segment dedup vs imperative mirrors
 # ---------------------------------------------------------------------------
