@@ -139,3 +139,31 @@ def test_cdc_apply_respects_tombstones(spark, sf_dir, qmap):
         .distinct()
         .collect()
     }
+
+
+def test_pf_shingle_estimate_metadata_branches(tmp_path):
+    """The E116 broadcast gate's size estimate must stay pure driver
+    metadata across all three path shapes: a single parquet file, a
+    directory-of-part-files sink (the production layout), and a
+    missing/remote path — which must fall back to never-broadcast,
+    the scale-safe direction."""
+    from iceberg_aws_event_based_table_management_spark.queries.pipeline_ext6 import (
+        _PF_BCAST_MAX_SHINGLES,
+        _pf_estimated_shingles,
+    )
+
+    # single file
+    f = tmp_path / "documents.parquet"
+    f.write_bytes(b"x" * 1234)
+    assert _pf_estimated_shingles(str(tmp_path)) == 1234
+
+    # directory of part files (sum of all nested file sizes)
+    d = tmp_path / "dircase" / "documents.parquet"
+    (d / "sub").mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x" * 100)
+    (d / "sub" / "part-1.parquet").write_bytes(b"x" * 50)
+    assert _pf_estimated_shingles(str(tmp_path / "dircase")) == 150
+
+    # missing path: estimate must exceed the cap so the gate never
+    # force-broadcasts on unknown size
+    assert _pf_estimated_shingles(str(tmp_path / "nope")) > _PF_BCAST_MAX_SHINGLES
