@@ -410,3 +410,21 @@ def test_band_index_round_trips_through_parquet(spark, sf_dir, tmp_path):
         )
     }
     assert from_index == direct and direct
+
+
+def test_dedup_operators_handle_empty_inputs(spark):
+    """Empty candidate/corpus inputs — which DO occur at production
+    thresholds (no near-dups in a batch, an empty partition of a
+    filtered source) — must yield empty results, not errors, through
+    the whole dedup operator chain."""
+    empty_pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert D.connected_components(empty_pairs).count() == 0
+    assert D.connected_components_star(empty_pairs).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    sh = D.shingles(empty_docs, 3)
+    assert sh.count() == 0
+    assert D.minhash_signatures(sh).count() == 0
+    assert D.jaccard_pairs(sh).count() == 0
+    assert D.lsh_candidate_pairs(D.minhash_signatures(sh)).count() == 0
+    assert D.simhash(empty_docs).count() == 0
