@@ -45,8 +45,24 @@ def demote(*names: str) -> None:
     Registration order is the driver's grading order; demoting queries
     whose correctness is already on record keeps the verification
     window pointed at not-yet-verified entries.
+
+    Unknown names warn-and-skip instead of raising: the hand-authored
+    window lists in queries/__init__.py reference queries by string,
+    and a rename must degrade to a slightly-off window order — never
+    crash load() and take the whole driver contract (entry/queries/
+    oracle_sql) down with it.
     """
+    import warnings
+
     for n in names:
+        if n not in QUERIES:
+            warnings.warn(
+                f"demote: unknown query name {n!r} (renamed or removed?) — "
+                "skipped; fix the hand-authored window list",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            continue
         QUERIES[n] = QUERIES.pop(n)
 
 

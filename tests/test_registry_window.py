@@ -120,3 +120,19 @@ def test_unparseable_correctness_record_warns(tmp_path, monkeypatch, loaded):
         green = registry.driver_green_names()
     assert green == set()
     assert any("unparseable" in str(w.message) for w in caught)
+
+
+def test_demote_unknown_name_warns_not_crashes(loaded):
+    """A renamed query referenced by a hand-authored window list must
+    degrade to a warning — a KeyError here would crash load() and take
+    the whole driver contract down."""
+    snapshot = dict(registry.QUERIES)
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            registry.demote("no_such_query_name", next(iter(registry.QUERIES)))
+        assert any("unknown query name" in str(w.message) for w in caught)
+        assert len(registry.QUERIES) == len(snapshot)
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(snapshot)
