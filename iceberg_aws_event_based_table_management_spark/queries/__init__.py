@@ -264,6 +264,75 @@ def load() -> None:
         "stream_static_enrichment",
         "refs_aware_snapshot_expiry",
     ]
+    # ROUND-9 PLAN (authored in round 8, per the r7 verdict #5): once
+    # the r8 window grades (every tail_r8 name green), rotate in a
+    # FRESH canary sample — a different earliest-green slice (the r8
+    # list leaned r2; this one sweeps r1/r3/r4/r5 families none of
+    # which r8 re-graded), led by the queries ROUND 8 REWROTE that the
+    # r8 window does NOT cover (streaming parquet-sink rework:
+    # stream_join_view_purchase / stream_merge_upsert; star-fallback
+    # singleton fix: dedup_near_clusters).  50 names = a full window;
+    # all schemas audited flat (no array/map/struct/binary) and
+    # pre-validated green under the bare driver-mimic session before
+    # round-8 close.  Round 10 should rotate again — don't reuse.
+    canaries_r9 = [
+        # rewritten in round 8, not re-graded by the r8 window
+        "stream_join_view_purchase",
+        "stream_merge_upsert",
+        "dedup_near_clusters",
+        # earliest greens (r1) — the slice the r8 canaries skipped
+        "scan_parquet",
+        "scan_projection",
+        "scan_pushdown_filter",
+        "project_arithmetic",
+        "filter_predicates",
+        "case_when_bucket",
+        "join_broadcast_nation_region",
+        "agg_count_distinct",
+        "agg_rollup_by_nation_region",
+        "agg_salted_two_stage",
+        "sort_compaction_zorder",
+        "composite_local_supplier_volume",
+        # r3 greens — joins, sorts/sets, scalars, sampling, similarity
+        "join_outer_customer_orders",
+        "join_semi_customers_with_orders",
+        "join_anti_customers_without_orders",
+        "join_range_events_windows",
+        "sort_global_topcustomers",
+        "topk_per_group",
+        "setop_intersect_keys",
+        "scalar_string_suite",
+        "scalar_math_suite",
+        "sample_deterministic",
+        "ann_topk_ivf",
+        "dedup_embedding_neardup",
+        # r4 greens — control plane, lifecycle, windows, streaming
+        "events_scan",
+        "commit_filter",
+        "table_lookup_join",
+        "snapshot_lineage_scan",
+        "commits_since_last_replace",
+        "commit_threshold_trigger",
+        "join_asof_latest_snapshot",
+        "window_lag_commit_gap",
+        "changelog_cdc_diff",
+        "snapshot_time_travel",
+        "stream_watermark_latedrop",
+        "udf_tablename_parse_parity",
+        "dedup_near_verified",
+        # r5 greens — dedup/embedding/corpus-assembly families
+        "dedup_near_candidates",
+        "dedup_simhash_buckets",
+        "embedding_normalize_quantize",
+        "kmeans_assign_step",
+        "pack_sequences_token_budget",
+        "corpus_mixture_weights",
+        "wap_publish_gate",
+        "stream_session_real",
+        # r6/r7 family reps untouched by the r8 canary list
+        "mor_deletes_read",
+        "pagerank_integer_bipartite",
+    ]
 
     ordered = window_r6
     ordered += [n for n in staged_r7 if n not in set(ordered)]
@@ -277,15 +346,55 @@ def load() -> None:
     # Once the never-green backlog shrinks to the 9-name tail, the
     # regime flips: the hand-authored round-8 window (tail + pinned
     # canaries) wins, and rotate_graded cannot evict the canaries.
+    #
+    # Rows-only registrations (oracle=None — today just
+    # `agg_approx_distinct`, C20) can never earn a green row: the
+    # driver records `err: no_oracle` for them every round.  They are
+    # therefore (a) excluded from the never-green backlog, which would
+    # otherwise be pinned above the flip threshold forever (r7 verdict
+    # headline defect), and (b) demoted with the greens so they stop
+    # burning a front-window grading slot on a guaranteed err row.
     green = registry.driver_green_names()
-    backlog = [n for n in ordered if n not in green]
-    if len(backlog) <= len(tail_r8):
-        window = tail_r8 + [n for n in canaries_r8 if n not in set(tail_r8)]
+    rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
+    backlog = [n for n in ordered if n not in green and n not in rows_only]
+
+    def _flip(window_names: list[str], regime: str) -> None:
+        # Shared flip mechanics for the hand-authored windows: the
+        # COMPUTED backlog leads (a query added/renamed after the list
+        # was written must not be silently evicted — r7 ADVICE, low;
+        # hand-authored order wins for names present in both), the
+        # canaries fill the rest, and rotation can never evict them.
+        extra = set(backlog) - set(window_names)
+        if extra:
+            import warnings
+
+            warnings.warn(
+                f"{regime} flip: never-green backlog contains names "
+                f"outside the hand-authored window: {sorted(extra)}; "
+                "they are appended to the window tail",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        backlog_set = set(backlog)
+        lead = [n for n in window_names if n in backlog_set]
+        lead += [n for n in backlog if n not in set(lead)]
+        window = lead + [n for n in window_names if n not in set(lead)]
         rest = [n for n in registry.QUERIES if n not in set(window)]
         registry.demote(*(window + rest))
-        registry.rotate_graded(green, pinned=set(window))
+        registry.rotate_graded(green | rows_only, pinned=set(window))
+
+    if not set(tail_r8) - green:
+        # ROUND-9 REGIME: the r8 window has been driver-graded (every
+        # tail name green), so rotate in the FRESH canary sample —
+        # re-using the r8 list would re-grade the same 41 queries
+        # forever and never sweep the other families for format drift.
+        _flip(canaries_r9, "round-9")
+    elif len(backlog) <= len(tail_r8):
+        # ROUND-8 REGIME: the 9-name never-graded tail leads, the 41
+        # pinned canaries fill the window.
+        _flip(tail_r8 + [n for n in canaries_r8 if n not in set(tail_r8)], "round-8")
     else:
-        registry.rotate_graded(green)
+        registry.rotate_graded(green | rows_only)
 
     _LOADED = True
 
