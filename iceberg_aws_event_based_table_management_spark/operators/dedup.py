@@ -353,6 +353,13 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
         both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     edges = both.distinct().localCheckpoint(eager=True)
+    # Node set captured from the CHECKPOINTED edges (not from `pairs`,
+    # whose lineage may be an expensive candidate generation): the
+    # contraction phases drop self-loops, so a node appearing only in
+    # self-loop pairs (doc_id_a == doc_id_b) would otherwise vanish
+    # from the output while label propagation returns it with its own
+    # label (round-8 ADVICE) — it is re-attached as a singleton below.
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
 
     def _sig(e: DataFrame) -> tuple:
         row = e.select(F.xxhash64("src", "dst").alias("x")).agg(
@@ -411,7 +418,14 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 20) -> DataFra
     roots = stars.select(F.col("component_id").alias("doc_id")).distinct().withColumn(
         "component_id", F.col("doc_id")
     )
-    return stars.unionByName(roots)
+    result = stars.unionByName(roots)
+    # Self-loop-only nodes (absent from every non-self edge) come back
+    # as singleton components — exactly what label propagation returns
+    # for them, so the adaptive fallback never changes the row set.
+    singletons = nodes.join(result, "doc_id", "left_anti").withColumn(
+        "component_id", F.col("doc_id")
+    )
+    return result.unionByName(singletons)
 
 
 def incremental_admit(base: DataFrame, batch: DataFrame) -> DataFrame:

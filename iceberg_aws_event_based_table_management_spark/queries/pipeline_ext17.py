@@ -31,17 +31,23 @@ from ..registry import register
 from .pipeline_ext8 import _DAILY_CTE, _daily
 
 def _no_silent_overflow(c, what: str):
-    """Fail-stop guard for the decimal(38,0) sufficient-statistic
-    combinations: under non-ANSI Spark a decimal overflow surfaces as
-    NULL, while the DuckDB oracle's HUGEINT arithmetic THROWS — past
-    the documented ~1e9 events/day exact-integer headroom the two
-    engines would silently diverge (NULL rows vs an error).  Every
-    overflow-capable combination is wrapped so Spark also fails
-    LOUDLY: the inputs here are counts and sums over a non-empty
-    group and can only be NULL via overflow, so the WHEN branch
-    evaluates raise_error exactly when the oracle would have thrown
-    (round-7 ADVICE — divergence becomes a matching error, not a
-    hash mismatch)."""
+    """Fail-stop guard for decimal(38,0) arithmetic whose inputs are
+    provably non-NULL: under non-ANSI Spark a decimal overflow
+    surfaces as NULL, while the DuckDB oracle's HUGEINT arithmetic
+    THROWS — past the documented ~1e9 events/day exact-integer
+    headroom the two engines would silently diverge.  Applied at TWO
+    levels (round-7/round-8 ADVICE): (a) every PER-ROW product before
+    it enters SUM — SUM skips NULL summands, so an unguarded
+    overflowed product would be silently dropped and the sum would
+    return a non-NULL wrong value that sails past any aggregate-level
+    check, whereas the oracle's HUGEINT throws at that same per-term
+    multiply; and (b) every post-aggregate combination, catching
+    accumulator overflow.  At each call site the wrapped expression's
+    inputs are non-NULL by construction (counts/sums over non-empty
+    groups, or lag-NULL rows already routed to a 0 branch), so NULL
+    here means overflow and raise_error fires exactly when the oracle
+    would have thrown — divergence becomes a matching error, not a
+    hash mismatch."""
     return F.when(
         c.isNull(),
         F.raise_error(
@@ -129,16 +135,27 @@ def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def acf(lagcol: str):
         lag_dev = (F.col("n_days") * F.col(lagcol) - F.col("s")).cast("decimal(19,0)")
+        # summand guards: inside .otherwise() both dev and lag_dev are
+        # non-NULL, so a NULL product is a per-row overflow that SUM
+        # would otherwise silently skip (DuckDB's HUGEINT throws here)
         num = _no_silent_overflow(
             F.sum(
                 F.when(F.col(lagcol).isNull(), F.lit(0).cast("decimal(38,0)")).otherwise(
-                    (dev * lag_dev).cast("decimal(38,0)")
+                    _no_silent_overflow(
+                        (dev * lag_dev).cast("decimal(38,0)"),
+                        f"E169 acf summand({lagcol})",
+                    )
                 )
             ),
             f"E169 acf num({lagcol})",
         )
         den = _no_silent_overflow(
-            F.sum((dev * dev).cast("decimal(38,0)")), f"E169 acf den({lagcol})"
+            F.sum(
+                _no_silent_overflow(
+                    (dev * dev).cast("decimal(38,0)"), "E169 acf den summand"
+                )
+            ),
+            f"E169 acf den({lagcol})",
         )
         return (
             F.floor((num.cast("double") / den.cast("double")) * 1000000)
@@ -218,13 +235,22 @@ def correlation_event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     # E167 overflow class); first moments stay int64-safe but ride
     # along in decimal so every combination below is one type
     xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
+    # summand guards: x/y are non-NULL counts, so a NULL second-moment
+    # product is a per-row overflow that SUM would silently skip —
+    # the oracle's HUGEINT throws at that same per-term multiply
     stats = pairs.groupBy("type_a", "type_b").agg(
         F.count("*").cast("decimal(19,0)").alias("n"),
         F.sum(xd).cast("decimal(38,0)").alias("sx"),
         F.sum(yd).cast("decimal(38,0)").alias("sy"),
-        F.sum((xd * yd).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((xd * xd).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((yd * yd).cast("decimal(38,0)")).alias("syy"),
+        F.sum(
+            _no_silent_overflow((xd * yd).cast("decimal(38,0)"), "E170 sxy summand")
+        ).alias("sxy"),
+        F.sum(
+            _no_silent_overflow((xd * xd).cast("decimal(38,0)"), "E170 sxx summand")
+        ).alias("sxx"),
+        F.sum(
+            _no_silent_overflow((yd * yd).cast("decimal(38,0)"), "E170 syy summand")
+        ).alias("syy"),
     )
     # cov/vx/vy jointly touch all six sums, so a NULL from any
     # overflowed accumulator or combination is caught by the guards

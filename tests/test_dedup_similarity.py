@@ -377,6 +377,23 @@ def test_star_contraction_matches_label_propagation_on_chain(spark):
     assert {c for _, c in star} == {0, 100}
 
 
+def test_star_contraction_keeps_self_loop_only_nodes(spark):
+    """A node appearing ONLY in self-loop pairs (doc_id_a ==
+    doc_id_b) must survive star contraction as a singleton component
+    — label propagation returns it with its own label, and the
+    adaptive fallback must never change the output row set (round-8
+    ADVICE: the contraction phases filter src != dst, which used to
+    drop such nodes entirely)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (9, 9), (3, 3)],
+        "doc_id_a long, doc_id_b long",
+    )
+    prop = {(r.doc_id, r.component_id) for r in D.connected_components(pairs).collect()}
+    star = {(r.doc_id, r.component_id) for r in D.connected_components_star(pairs).collect()}
+    assert star == prop
+    assert star == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 9)}
+
+
 def test_band_index_round_trips_through_parquet(spark, sf_dir, tmp_path):
     """The E63 scale claim made concrete: the LSH band index persists
     to parquet and, read back cold, yields EXACTLY the candidate pairs

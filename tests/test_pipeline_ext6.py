@@ -143,27 +143,76 @@ def test_cdc_apply_respects_tombstones(spark, sf_dir, qmap):
 
 def test_pf_shingle_estimate_metadata_branches(tmp_path):
     """The E116 broadcast gate's size estimate must stay pure driver
-    metadata across all three path shapes: a single parquet file, a
-    directory-of-part-files sink (the production layout), and a
-    missing/remote path — which must fall back to never-broadcast,
-    the scale-safe direction."""
+    metadata (parquet FOOTER, no Spark job) across all path shapes: a
+    single parquet file, a directory-of-part-files sink (the
+    production layout), and a missing/unreadable path — which must
+    fall back to never-broadcast, the scale-safe direction.  The
+    estimate is the text column's UNCOMPRESSED size, so heavy on-disk
+    compression (round-8 ADVICE: dictionary/zstd on repetitive
+    corpora) cannot flip the bound's conservative direction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from iceberg_aws_event_based_table_management_spark.queries.pipeline_ext6 import (
         _PF_BCAST_MAX_SHINGLES,
         _pf_estimated_shingles,
     )
 
-    # single file
-    f = tmp_path / "documents.parquet"
-    f.write_bytes(b"x" * 1234)
-    assert _pf_estimated_shingles(str(tmp_path)) == 1234
+    def write(path, texts):
+        tbl = pa.table(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )
+        pq.write_table(tbl, path, compression="zstd")
 
-    # directory of part files (sum of all nested file sizes)
+    def uncompressed_text_bytes(path):
+        md = pq.read_metadata(path)
+        return sum(
+            md.row_group(rg).column(ci).total_uncompressed_size
+            for rg in range(md.num_row_groups)
+            for ci in range(md.row_group(rg).num_columns)
+            if md.row_group(rg).column(ci).path_in_schema == "text"
+        )
+
+    # single file: estimate == footer uncompressed text size, and for
+    # a unique-doc corpus (the shape the gate serves — exact dedup D1
+    # runs upstream) that bounds logical chars ≥ words ≥ shingles,
+    # independent of how hard zstd squeezes the file on disk
+    import random
+
+    rnd = random.Random(8)
+    texts = [
+        "".join(rnd.choices("abcdefg hijklmn", k=400)) for _ in range(200)
+    ]
+    f = tmp_path / "documents.parquet"
+    write(f, texts)
+    est = _pf_estimated_shingles(str(tmp_path))
+    assert est == uncompressed_text_bytes(f)
+    assert est >= sum(len(t) for t in texts)  # ≥ chars ≥ words ≥ shingles
+    assert est > f.stat().st_size  # compressed size would under-count
+
+    # directory of part files (sum across nested parts)
     d = tmp_path / "dircase" / "documents.parquet"
     (d / "sub").mkdir(parents=True)
-    (d / "part-0.parquet").write_bytes(b"x" * 100)
-    (d / "sub" / "part-1.parquet").write_bytes(b"x" * 50)
-    assert _pf_estimated_shingles(str(tmp_path / "dircase")) == 150
+    write(d / "part-0.parquet", ["alpha beta gamma"] * 10)
+    write(d / "sub" / "part-1.parquet", ["delta epsilon"] * 5)
+    est_dir = _pf_estimated_shingles(str(tmp_path / "dircase"))
+    assert est_dir == uncompressed_text_bytes(d / "part-0.parquet") + (
+        uncompressed_text_bytes(d / "sub" / "part-1.parquet")
+    )
 
     # missing path: estimate must exceed the cap so the gate never
     # force-broadcasts on unknown size
     assert _pf_estimated_shingles(str(tmp_path / "nope")) > _PF_BCAST_MAX_SHINGLES
+
+    # unreadable footer (not real parquet): same never-broadcast fallback
+    bad = tmp_path / "badcase" / "documents.parquet"
+    bad.parent.mkdir()
+    bad.write_bytes(b"x" * 1234)
+    assert _pf_estimated_shingles(str(tmp_path / "badcase")) > _PF_BCAST_MAX_SHINGLES
+
+    # parquet without a text column: metadata we don't understand —
+    # never force the broadcast
+    nocol = tmp_path / "nocol" / "documents.parquet"
+    nocol.parent.mkdir()
+    pq.write_table(pa.table({"doc_id": [1, 2]}), nocol)
+    assert _pf_estimated_shingles(str(tmp_path / "nocol")) > _PF_BCAST_MAX_SHINGLES
