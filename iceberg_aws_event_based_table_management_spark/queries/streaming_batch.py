@@ -10,6 +10,7 @@ Structured Streaming inside the query callable.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -298,12 +299,20 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch.  Time-ordered replay makes the incremental upsert
     provably equal the batch as-of query (latest event per user) —
     so unlike most streaming ops this one carries a full SQL oracle,
-    not a rows-only check."""
+    not a rows-only check.
+
+    The final keyed state (one row per user — key-cardinality, but
+    keys are data-sized at 100×) lands in a scratch parquet state
+    table written on the EXECUTORS from the localCheckpoint'ed merge
+    result, and the return is a lazy read of it — no driver collect
+    (r7 verdict #2); production writes the same state to a real
+    MERGE'd table."""
     with tempfile.TemporaryDirectory() as tmp:
         path = replay.replay_dir(spark, sf_dir, tmp)
         final = replay.run_merge_upsert_stream(spark, path, tmp)
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        sink = os.path.join(replay.scratch_dir("merge_state"), "state")
+        final.write.parquet(sink)
+        return spark.read.schema(final.schema).parquet(sink)
 
 
 @register(
@@ -373,11 +382,11 @@ def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         )
-        out = replay.run_to_memory(
-            joined, f"ssj_{uuid.uuid4().hex[:8]}", output_mode="append"
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # Row-level emission: parquet file sink on the executors, lazy
+        # batch read back — a memory sink would pull every joined row
+        # through the driver (r7 verdict #2; the sink dir outlives the
+        # replay tempdir via the session scratch root).
+        return replay.run_to_parquet(joined, replay.scratch_dir("ssj"))
 
 
 @register(
@@ -437,8 +446,6 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ts") == F.col("first_seen")).alias("is_first_event"),
             )
         )
-        out = replay.run_to_memory(
-            stream, f"enrich_{uuid.uuid4().hex[:8]}", output_mode="append"
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # Row-level emission (one row per purchase event): executor-side
+        # parquet sink + lazy read back, never driver-materialized.
+        return replay.run_to_parquet(stream, replay.scratch_dir("enrich"))

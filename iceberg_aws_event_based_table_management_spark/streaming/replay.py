@@ -7,14 +7,22 @@ Structured Streaming source; the fixture `events` table replays
 through a file-stream source so every streaming operator can be
 batch-equivalence-checked (SURVEY SS5.3).
 
-All sinks here are bounded (memory sink + processAllAvailable) so the
-operators are deterministic and testable; in production the same
-queries run unbounded with checkpointing.
+Sink discipline: the memory sink (`run_to_memory`) is reserved for
+BOUNDED-CARDINALITY outputs — windowed/keyed aggregates whose final
+state is metadata-sized — because a memory sink materializes every
+output row on the driver.  Row-level streams (join emissions,
+enriched events) go through `run_to_parquet` instead: foreachBatch-
+equivalent file sink on the executors, handed back as a lazy batch
+read — the corpus never transits the driver (round-7 verdict).  In
+production the same queries run unbounded with checkpointing.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 import uuid
 from contextlib import contextmanager
 
@@ -102,9 +110,62 @@ def read_stream(spark: SparkSession, replay_path: str, files_per_trigger: int = 
     return src.drop("chunk")
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Session-lifetime scratch directory for streaming parquet sinks.
+
+    Row-level streaming results must outlive the per-query replay
+    tempdir (the returned DataFrame is a LAZY read the driver collects
+    later), so sinks land here: one root per process, cleaned at
+    interpreter exit.  Production swaps this for a real table
+    location; only the path policy changes."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark-stream-scratch-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, f"{prefix}-{uuid.uuid4().hex}")
+    os.makedirs(d)
+    return d
+
+
+def run_to_parquet(stream_df: DataFrame, out_dir: str) -> DataFrame:
+    """Run a bounded APPEND-mode streaming query to a parquet FILE
+    sink and return a lazy batch read of the committed output.
+
+    This is the row-level counterpart of `run_to_memory`: a memory
+    sink materializes every output row on the driver, which for
+    row-proportional streams (join emissions, enriched events) is the
+    corpus through the driver at scale.  The file sink writes on the
+    executors with exactly-once commit semantics (_spark_metadata
+    log), and the returned DataFrame is a lazy `spark.read` over the
+    committed files — the same shape production uses (stream →
+    table → downstream batch readers).  The explicit read schema
+    keeps the empty-output case well-defined."""
+    spark = stream_df.sparkSession
+    sink = os.path.join(out_dir, "out")
+    with replay_shuffle_scope(spark):
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(stream_df.schema).parquet(sink)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Run a bounded streaming query to a memory sink, process all
     available input, stop, and return the sink table.
+
+    RESERVED for bounded-cardinality outputs (windowed/keyed
+    aggregates, per-table decisions): the memory sink materializes
+    every output row on the driver, so row-level streams must use
+    `run_to_parquet` instead.
 
     Aggregating streams default to `complete` mode: the memory sink
     then holds exactly the final state.  (`update` would append one row
