@@ -56,6 +56,7 @@ def load() -> None:
         pipeline_ext15,
         pipeline_ext16,
         pipeline_ext17,
+        pipeline_ext18,
     )
 
     from .. import registry
@@ -354,11 +355,28 @@ def load() -> None:
     # otherwise be pinned above the flip threshold forever (r7 verdict
     # headline defect), and (b) demoted with the greens so they stop
     # burning a front-window grading slot on a guaranteed err row.
+    # Queries REGISTERED in round 8 (after the r8 window was already
+    # hand-validated): deliberately staged OUT of the round-8 flip —
+    # they must neither break the <=9 backlog condition nor displace
+    # the pre-validated tail+canary window mid-round.  They have no
+    # grading history, so in the ROUND-9 regime they lead the window
+    # (never-green first), with canaries_r9 filling the rest.
+    staged_new_r8 = [
+        "theilsen_daily_slope",
+        "seasonal_decompose_daily",
+        "anova_f_source_lengths",
+        "basket_triples_apriori",
+        "rfm_customer_segments",
+        "conversion_lift_ztest",
+        "rolling_ols_slope",
+        "dedup_pair_span_align",
+    ]
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
 
-    def _flip(window_names: list[str], regime: str) -> None:
+    def _flip(window_names: list[str], regime: str, backlog: list[str]) -> None:
         # Shared flip mechanics for the hand-authored windows: the
         # COMPUTED backlog leads (a query added/renamed after the list
         # was written must not be silently evicted — r7 ADVICE, low;
@@ -385,14 +403,21 @@ def load() -> None:
 
     if not set(tail_r8) - green:
         # ROUND-9 REGIME: the r8 window has been driver-graded (every
-        # tail name green), so rotate in the FRESH canary sample —
-        # re-using the r8 list would re-grade the same 41 queries
-        # forever and never sweep the other families for format drift.
-        _flip(canaries_r9, "round-9")
-    elif len(backlog) <= len(tail_r8):
+        # tail name green), so the round-8-staged newcomers plus the
+        # FRESH canary sample rotate in — re-using the r8 list would
+        # re-grade the same 41 queries forever and never sweep the
+        # other families for format drift.
+        pending_new = [n for n in staged_new_r8 if n not in green]
+        _flip(pending_new + canaries_r9, "round-9", backlog)
+    elif len(backlog) - len(set(backlog) & set(staged_new_r8)) <= len(tail_r8):
         # ROUND-8 REGIME: the 9-name never-graded tail leads, the 41
-        # pinned canaries fill the window.
-        _flip(tail_r8 + [n for n in canaries_r8 if n not in set(tail_r8)], "round-8")
+        # pinned canaries fill the window; round-8-staged newcomers
+        # wait at positions 51+ for the round-9 rotation.
+        _flip(
+            tail_r8 + [n for n in canaries_r8 if n not in set(tail_r8)],
+            "round-8",
+            [n for n in backlog if n not in set(staged_new_r8)],
+        )
     else:
         registry.rotate_graded(green | rows_only)
 

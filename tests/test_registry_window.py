@@ -149,11 +149,15 @@ def test_r9_flip_after_tail_greens(loaded, monkeypatch):
         q.load()
         names = list(registry.QUERIES)
         canaries = _hand_authored("canaries_r9")
+        staged = _hand_authored("staged_new_r8")
         assert len(canaries) == 50
-        # Backlog empty -> window is exactly the 50 fresh canaries.
-        assert names[:50] == canaries
-        # The round-8 rewrites the r8 window never re-graded lead it.
-        assert names[:3] == [
+        # Never-graded round-8 newcomers lead, fresh canaries fill the
+        # window behind them (the driver grades the first 50).
+        assert names[: len(staged)] == staged
+        assert names[len(staged) : len(staged) + 50] == canaries
+        # The round-8 rewrites the r8 window never re-graded are the
+        # first canaries.
+        assert canaries[:3] == [
             "stream_join_view_purchase",
             "stream_merge_upsert",
             "dedup_near_clusters",
