@@ -57,6 +57,7 @@ def load() -> None:
         pipeline_ext16,
         pipeline_ext17,
         pipeline_ext18,
+        pipeline_ext19,
     )
 
     from .. import registry
@@ -370,6 +371,11 @@ def load() -> None:
         "conversion_lift_ztest",
         "rolling_ols_slope",
         "dedup_pair_span_align",
+        "ccf_event_lead_lag",
+        "cuped_adjusted_lift",
+        "trimmed_mean_lengths",
+        "zipf_term_exponent",
+        "weighted_median_doclen",
     ]
 
     green = registry.driver_green_names()
