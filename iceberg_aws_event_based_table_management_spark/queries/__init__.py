@@ -58,6 +58,7 @@ def load() -> None:
         pipeline_ext17,
         pipeline_ext18,
         pipeline_ext19,
+        pipeline_ext20,
     )
 
     from .. import registry
@@ -376,6 +377,10 @@ def load() -> None:
         "trimmed_mean_lengths",
         "zipf_term_exponent",
         "weighted_median_doclen",
+        "composite_returned_item_revenue",
+        "markov_next_event_accuracy",
+        "funnel_time_to_convert",
+        "event_trigram_topk",
     ]
 
     green = registry.driver_green_names()

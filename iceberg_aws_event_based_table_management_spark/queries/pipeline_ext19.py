@@ -125,7 +125,7 @@ def ccf_event_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E180: CUPED variance-reduced experiment readout
 # ---------------------------------------------------------------------------
 
-_CUPED_SPLIT = "2024-02-15"
+_CUPED_SPLIT = "2024-01-16"
 
 
 @register(
