@@ -364,3 +364,42 @@ def test_prefix_filter_broadcast_is_size_conditional(spark, sf_dir, qmap, monkey
     assert "ResolvedHint" not in analyzed, "oversized set table still force-broadcast"
     got = {(r.doc_id_a, r.doc_id_b): (r.n_common, r.jaccard) for r in big.collect()}
     assert got == baseline
+
+
+def test_round8_batch_plan_shapes(spark, sf_dir, qmap):
+    """The round-8 operator batch's 100 TB postures, locked:
+
+    - basket_triples_apriori: no cartesian/nested-loop anywhere — the
+      A-priori candidate generation is all equi-joins;
+    - dedup_pair_span_align: no cartesian — positional matching rides
+      pair/shingle equi-joins only;
+    - composite_returned_item_revenue: returnflag + orderdate filters
+      reach the scans (pushed), top-20 is TakeOrdered, nation side is
+      a broadcast;
+    - ccf_event_lead_lag / cuped_adjusted_lift: exactly one
+      nested-loop each, and it is the INTENDED bounded broadcast
+      (8-row lag frame / 1-row global-stats frame);
+    - markov_next_event_accuracy: the types²-bounded model joins the
+      test stream as a broadcast, never a shuffle."""
+    plan = _plan(qmap["basket_triples_apriori"](spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    plan = _plan(qmap["dedup_pair_span_align"](spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    q10 = qmap["composite_returned_item_revenue"](spark, sf_dir)
+    fmt = _formatted(q10)
+    plan = _plan(q10)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in fmt
+    assert "IsNotNull(o_orderdate)" in fmt
+
+    for name in ("ccf_event_lead_lag", "cuped_adjusted_lift"):
+        plan = _plan(qmap[name](spark, sf_dir))
+        assert plan.count("BroadcastNestedLoop") == 1, name
+        assert "Cartesian" not in plan, name
+
+    plan = _plan(qmap["markov_next_event_accuracy"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
