@@ -59,6 +59,7 @@ def load() -> None:
         pipeline_ext18,
         pipeline_ext19,
         pipeline_ext20,
+        pipeline_ext21,
     )
 
     from .. import registry
@@ -381,6 +382,10 @@ def load() -> None:
         "markov_next_event_accuracy",
         "funnel_time_to_convert",
         "event_trigram_topk",
+        "drift_psi_lengths",
+        "forecast_mase_seasonal_naive",
+        "matched_pairs_by_decile",
+        "max_drawdown_daily_value",
     ]
 
     green = registry.driver_green_names()

@@ -1,0 +1,456 @@
+"""Tier D (part 22) — drift scoring, forecast backtest, matching,
+drawdown (SURVEY.md §2-E E188-E191).
+
+Twenty-first batch, registered in round 8 and STAGED with E171-E187
+for the round-9 grading window: the population stability index (the
+industry-standard drift score the E135/E167/E168 test family reports
+to), a seasonal-naive forecast backtest (MASE — the scale-free
+forecast error every fancier model must beat), decile-matched
+treatment/control pairing (the observational-causality primitive),
+and maximum drawdown over the daily value stream (the running-max
+device finance monitors run).
+
+Same exactness discipline: integer sufficient statistics, nearest-rank
+boundaries, cents-exact money, ordered folds for the one cross-bin
+log-sum, one IEEE crossing per output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import io
+from ..registry import register
+from .pipeline_ext8 import _DAILY_CTE, _daily
+
+# ---------------------------------------------------------------------------
+# E188: population stability index (PSI)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+@register(
+    "drift_psi_lengths",
+    tier="D",
+    oracle=f"""
+    WITH ref AS (
+      SELECT n_chars FROM documents WHERE doc_id % 2 = 0
+    ),
+    cur AS (
+      SELECT n_chars FROM documents WHERE doc_id % 2 <> 0
+    ),
+    srt AS (SELECT list_sort(list(n_chars)) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref),
+    edges AS (
+      SELECT n_ref,
+             list_transform(generate_series(1, {_PSI_BINS - 1}),
+                            k -> s[CAST(ceil(k * len(s) / {_PSI_BINS}.0)
+                                   AS INTEGER)]) AS b
+      FROM srt
+    ),
+    binned_ref AS (
+      SELECT 1 + len(list_filter(e.b, x -> r.n_chars > x)) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS ref_n
+      FROM ref r, edges e GROUP BY 1
+    ),
+    binned_cur AS (
+      SELECT 1 + len(list_filter(e.b, x -> c.n_chars > x)) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cur_n
+      FROM cur c, edges e GROUP BY 1
+    ),
+    bins AS (
+      SELECT CAST(unnest(generate_series(1, {_PSI_BINS})) AS BIGINT) AS bin
+    ),
+    filled AS (
+      SELECT b.bin,
+             COALESCE(br.ref_n, 0) AS ref_n,
+             COALESCE(bc.cur_n, 0) AS cur_n,
+             (SELECT n_ref FROM srt) AS n_ref,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cur) AS n_cur
+      FROM bins b
+      LEFT JOIN binned_ref br ON b.bin = br.bin
+      LEFT JOIN binned_cur bc ON b.bin = bc.bin
+    ),
+    contrib AS (
+      SELECT bin, ref_n, cur_n,
+             ((CAST(ref_n AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + {_PSI_BINS / 2})
+              - (CAST(cur_n AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + {_PSI_BINS / 2}))
+             * ln(((CAST(ref_n AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + {_PSI_BINS / 2}))
+                  / ((CAST(cur_n AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + {_PSI_BINS / 2})))
+               AS c
+      FROM filled
+    ),
+    tot AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY bin)),
+                         (a, x) -> a + x) AS psi
+      FROM contrib
+    )
+    SELECT bin, ref_n, cur_n,
+           CAST(FLOOR(c * 1000000) AS BIGINT) AS contrib_ppm,
+           (SELECT CAST(FLOOR(psi * 1000000) AS BIGINT) FROM tot) AS psi_total_ppm
+    FROM contrib
+    """,
+)
+def drift_psi_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E188: population stability index on document length — the
+    industry-standard single-number drift score (PSI < 0.1 stable,
+    > 0.25 act), computed between the even-doc_id half (reference) and
+    the odd half (current).  E135 gates with a chi-square decision,
+    E167/E168 compare distributions pairwise; PSI is what model-risk
+    dashboards actually print, and its per-bin contributions say WHERE
+    the mass moved.
+
+    Mechanics: bin edges are the reference's nearest-rank deciles
+    (sorted-pick, exact integers); bin assignment is the pure integer
+    predicate 1 + #{edges < x}; both populations' bin counts are exact
+    ints; probabilities are Laplace-smoothed ((c+0.5)/(n+B/2)) so an
+    empty bin can never produce ln(0) — the standard PSI practice,
+    stated rather than hidden.  The one cross-bin float sum (Σ over 10
+    bins of (p−q)·ln(p/q)) folds in BIN ORDER via the E133 device; ln
+    matches cross-engine per the E86 precedent.
+
+    Scale shape: edges are one bounded sorted-pick (reference-decile
+    metadata, broadcastable); binning is a map-side comparison against
+    9 broadcast edges; two 10-group rollups and a 10-element fold."""
+    docs = io.table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 != 0)
+    srt = ref.agg(
+        F.array_sort(F.collect_list("n_chars")).alias("s"),
+        F.count("*").cast("long").alias("n_ref"),
+    )
+    edges = srt.select(
+        "n_ref",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_PSI_BINS - 1)),
+            lambda k: F.element_at(
+                "s", F.ceil(k * F.size("s") / float(_PSI_BINS)).cast("int")
+            ),
+        ).alias("b"),
+    )
+
+    def binned(pop: DataFrame, out: str) -> DataFrame:
+        return (
+            pop.crossJoin(F.broadcast(edges.select("b")))
+            .select(
+                (
+                    1
+                    + F.size(F.filter("b", lambda x: F.col("n_chars") > x))
+                )
+                .cast("long")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    bins = spark.range(1, _PSI_BINS + 1).select(F.col("id").cast("long").alias("bin"))
+    totals = ref.agg(F.count("*").cast("long").alias("n_ref")).crossJoin(
+        cur.agg(F.count("*").cast("long").alias("n_cur"))
+    )
+    filled = (
+        bins.join(binned(ref, "ref_n"), "bin", "left")
+        .join(binned(cur, "cur_n"), "bin", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
+            "n_ref",
+            "n_cur",
+        )
+    )
+    half = float(_PSI_BINS / 2)
+    p = (F.col("ref_n").cast("double") + 0.5) / (F.col("n_ref").cast("double") + half)
+    qq = (F.col("cur_n").cast("double") + 0.5) / (F.col("n_cur").cast("double") + half)
+    contrib = filled.select(
+        "bin", "ref_n", "cur_n", ((p - qq) * F.log(p / qq)).alias("c")
+    )
+    tot = contrib.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bin", "c"))), lambda s: s["c"]
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("psi")
+    )
+    return contrib.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.floor(F.col("c") * 1000000).cast("long").alias("contrib_ppm"),
+        F.floor(F.col("psi") * 1000000).cast("long").alias("psi_total_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E189: seasonal-naive forecast backtest (MASE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_mase_seasonal_naive",
+    tier="D",
+    oracle="WITH "
+    + _DAILY_CTE
+    + """,
+    lagged AS (
+      SELECT event_type, day, n,
+             LAG(n, 7) OVER w AS n7,
+             LAG(n, 1) OVER w AS n1
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type, n, n7, n1 FROM lagged
+      WHERE n7 IS NOT NULL AND n1 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(abs(n - n7)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(abs(n - n1)) AS BIGINT) AS sae_naive,
+           CAST(FLOOR((CAST(SUM(abs(n - n7)) AS DOUBLE)
+                       / CAST(SUM(abs(n - n1)) AS DOUBLE)) * 1000000)
+                AS BIGINT) AS mase_ppm
+    FROM scored GROUP BY event_type
+    """,
+)
+def forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E189: seasonal-naive forecast backtest — predict each day's
+    event count with last week's same weekday and score it as MASE
+    (mean absolute error relative to the one-step naive forecast).
+    MASE < 1 means weekly seasonality genuinely predicts (E172/E112's
+    profiles carry signal); it is THE scale-free yardstick any real
+    forecasting model must beat, and this query is that baseline run
+    in-engine — the E185 backtest discipline applied to counts instead
+    of transitions.
+
+    Exactness: both error sums are exact integers over the same scored
+    day set (days with BOTH lags present — same denominator count, so
+    the ratio of sums IS the ratio of means); one IEEE division,
+    floored to ppm.
+
+    Scale shape: the corpus collapses to (type, day); one per-type
+    window provides both lags; one rollup."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = _daily(spark, sf_dir).select(
+        "event_type",
+        "n",
+        F.lag("n", 7).over(w).alias("n7"),
+        F.lag("n", 1).over(w).alias("n1"),
+    )
+    scored = lagged.filter(F.col("n7").isNotNull() & F.col("n1").isNotNull())
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days_scored"),
+        F.sum(F.abs(F.col("n") - F.col("n7"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("n") - F.col("n1"))).cast("long").alias("sae_naive"),
+        F.floor(
+            (
+                F.sum(F.abs(F.col("n") - F.col("n7"))).cast("double")
+                / F.sum(F.abs(F.col("n") - F.col("n1"))).cast("double")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("mase_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E190: decile-matched treatment/control pairs
+# ---------------------------------------------------------------------------
+
+_MATCH_BINS = 10
+
+
+@register(
+    "matched_pairs_by_decile",
+    tier="D",
+    oracle=f"""
+    WITH binned AS (
+      SELECT doc_id, n_chars, (lang = 'en') AS treat,
+             NTILE({_MATCH_BINS}) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY decile, treat
+                                   ORDER BY n_chars, doc_id) AS rk
+      FROM binned
+    )
+    SELECT CAST(t.decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(t.n_chars) AS BIGINT) AS treat_len_sum,
+           CAST(SUM(c.n_chars) AS BIGINT) AS ctrl_len_sum,
+           CAST(FLOOR((CAST(SUM(t.n_chars) - SUM(c.n_chars) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+             AS mean_len_diff_ppm
+    FROM ranked t
+    JOIN ranked c ON t.decile = c.decile AND t.rk = c.rk
+                 AND t.treat AND NOT c.treat
+    GROUP BY t.decile
+    """,
+)
+def matched_pairs_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E190: stratified 1:1 matching — pair every English ('treated')
+    document with a non-English ('control') document from the SAME
+    length decile, by rank within the stratum.  The observational-
+    causality primitive: any outcome comparison on the matched set is
+    balanced on length by construction, the coarse analog of
+    propensity matching that a SQL engine can do exactly.  The
+    residual within-pair length difference rides along as the balance
+    diagnostic (small diff = good match quality).
+
+    Mechanics: deciles over the POOLED population (total order
+    (n_chars, doc_id)); within (decile, arm), rank by the same order;
+    the match is a (decile, rank) EQUI-join — pairs = min(|T|,|C|)
+    per decile, deterministic in both engines.
+
+    Exactness: integer ranks, integer sums; one IEEE division.
+
+    Scale shape: matching-by-rank-join replaces the naive
+    nearest-neighbor quadratic — two windows sharing one sort and an
+    equi-join; decile boundaries swap to percentile-bucket range
+    partitioning at warehouse scale (E117's device)."""
+    binned = io.table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("lang") == "en").alias("treat"),
+        F.ntile(_MATCH_BINS).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
+    )
+    ranked = binned.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("decile", "treat").orderBy("n_chars", "doc_id")
+        ),
+    )
+    t = ranked.filter(F.col("treat")).select(
+        "decile", "rk", F.col("n_chars").alias("t_len")
+    )
+    c = ranked.filter(~F.col("treat")).select(
+        "decile", "rk", F.col("n_chars").alias("c_len")
+    )
+    return (
+        t.join(c, ["decile", "rk"])
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_matched"),
+            F.sum("t_len").cast("long").alias("treat_len_sum"),
+            F.sum("c_len").cast("long").alias("ctrl_len_sum"),
+            F.floor(
+                (
+                    (F.sum("t_len") - F.sum("c_len")).cast("double")
+                    / F.count("*").cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("mean_len_diff_ppm"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_matched",
+            "treat_len_sum",
+            "ctrl_len_sum",
+            "mean_len_diff_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E191: maximum drawdown of the daily value stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_drawdown_daily_value",
+    tier="D",
+    oracle="""
+    WITH daily_v AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
+      FROM events GROUP BY 1, 2
+    ),
+    cum0 AS (
+      SELECT event_type, day,
+             SUM(v_cents) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_cents
+      FROM daily_v
+    ),
+    cum AS (
+      SELECT event_type, day, cum_cents,
+             MAX(cum_cents) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS runmax_cents
+      FROM cum0
+    ),
+    dd AS (
+      SELECT event_type, day,
+             CAST(runmax_cents - cum_cents AS BIGINT) AS dd_cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY runmax_cents - cum_cents DESC, day)
+               AS rk
+      FROM cum
+    )
+    SELECT event_type, dd_cents AS max_drawdown_cents, day AS trough_day
+    FROM dd WHERE rk = 1
+    """,
+)
+def max_drawdown_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E191: maximum drawdown of the cumulative daily event value per
+    type — the largest peak-to-trough fall of the running total, with
+    the trough day.  The risk statistic every financial monitor runs,
+    and for ops streams the worst sustained regression of a cumulative
+    KPI; E131/E132 flag level anomalies, drawdown measures the DEPTH
+    of the worst slump.
+
+    Mechanics: the running-max-of-running-sum double window — both
+    frames share one (type, day) sort; drawdown = runmax − cum; the
+    argmax picks the earliest trough on ties (row_number with day
+    tiebreak).
+
+    Exactness: daily values are cent-exact integers (the dec_sum
+    device), so cumulative sums, running maxima, and drawdowns are
+    pure int64 end-to-end; no IEEE anywhere.
+
+    Scale shape: one rollup to (type, day) metadata; two stacked
+    windows on the same partitioning; one top-1-per-group pick."""
+    daily_v = (
+        io.table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily_v.select(
+        "event_type",
+        "day",
+        F.sum("v_cents").over(w).alias("cum_cents"),
+    ).select(
+        "event_type",
+        "day",
+        "cum_cents",
+        F.max("cum_cents").over(w).alias("runmax_cents"),
+    )
+    dd = cum.select(
+        "event_type",
+        "day",
+        (F.col("runmax_cents") - F.col("cum_cents")).cast("long").alias("dd_cents"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("dd_cents"), "day")
+        ),
+    )
+    return dd.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("dd_cents").alias("max_drawdown_cents"),
+        F.col("day").alias("trough_day"),
+    )
