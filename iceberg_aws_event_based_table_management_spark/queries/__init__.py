@@ -3,14 +3,24 @@
 Import order IS registration order.  The driver grades the first 50
 registered queries per round, so the order below is a rotation
 schedule: queries that have never produced a green driver row come
-first, already-proven ones last.  Round 6 is a pure GRADING round
-(per the r5 verdict): the window is 50 of the 109 never-driver-graded
-queries — the dedup/similarity/retrieval family first, then the
-graph/iteration trio, streaming, the table-format quartet, and the
-rest of the highest-value backlog.  No regression canaries this
-round: every slot goes to the backlog (cumulative target 207/266
-green).  The remaining 59 never-graded names are staged immediately
-after the window as the round-7 candidates.
+first, already-proven ones last.  On top of the manual order, load()
+runs a self-maintaining rotation driven by the repo's
+CORRECTNESS_r*.json records, with two hand-authored regime flips:
+
+- ROUND-8 (active once the r7 backlog graded green): the 9-name
+  never-graded tail leads, 41 pinned canaries fill the window;
+  queries REGISTERED in round 8 (staged_new_r8) are deliberately
+  excluded from this flip's backlog so they cannot displace the
+  pre-validated window mid-round.
+- ROUND-9 (once every tail_r8 name is green): the round-8 newcomers
+  lead (never-graded first), and canaries_r9 — a FRESH sample, not a
+  rerun of the r8 list — fills the remaining slots.
+
+Rows-only registrations (oracle=None) are excluded from every backlog
+count and demoted with the greens: the driver can only ever record
+`err: no_oracle` for them, so a front-window slot would be wasted and
+the flip thresholds would never be reached (the r7 verdict's headline
+defect).
 """
 
 from __future__ import annotations
