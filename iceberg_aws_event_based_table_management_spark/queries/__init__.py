@@ -70,6 +70,7 @@ def load() -> None:
         pipeline_ext19,
         pipeline_ext20,
         pipeline_ext21,
+        pipeline_ext22,
     )
 
     from .. import registry
@@ -396,6 +397,10 @@ def load() -> None:
         "forecast_mase_seasonal_naive",
         "matched_pairs_by_decile",
         "max_drawdown_daily_value",
+        "text_rake_keyphrases",
+        "transition_entropy",
+        "dedup_degree_profile",
+        "orders_aging_buckets",
     ]
 
     green = registry.driver_green_names()
