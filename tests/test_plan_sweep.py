@@ -78,6 +78,11 @@ NESTED_LOOP_OK = {
     "setop_bag_halves",  # E157: 1-row date-span relation broadcast
     "drift_chi_square_gate",  # E135: 1-row span + 1-row period-total broadcasts
     "quantile_normalize_lengths",  # E139: grid x grid CDF theta join — both sides length-bounded metadata, global grid broadcast
+    "rfm_customer_segments",  # E175: 1-row max-orderdate anchor broadcast
+    "ccf_event_lead_lag",  # E179: 8-row lag frame broadcast over the (day, count) metadata series
+    "cuped_adjusted_lift",  # E180: 1-row pooled-stats relation broadcast into the 2-row cohort frame
+    "drift_psi_lengths",  # E188: 9-edge reference-decile + 1-row totals broadcasts (bin metadata)
+    "orders_aging_buckets",  # E195: 1-row max-date anchor broadcast
 }
 
 # Global Sort without a following limit: legitimate only when the sort
