@@ -71,6 +71,7 @@ def load() -> None:
         pipeline_ext20,
         pipeline_ext21,
         pipeline_ext22,
+        pipeline_ext23,
     )
 
     from .. import registry
@@ -401,6 +402,9 @@ def load() -> None:
         "transition_entropy",
         "dedup_degree_profile",
         "orders_aging_buckets",
+        "text_bigram_perplexity",
+        "dedup_minhash_estimate_audit",
+        "ab_minimum_detectable_effect",
     ]
 
     green = registry.driver_green_names()
