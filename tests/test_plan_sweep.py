@@ -83,6 +83,7 @@ NESTED_LOOP_OK = {
     "cuped_adjusted_lift",  # E180: 1-row pooled-stats relation broadcast into the 2-row cohort frame
     "drift_psi_lengths",  # E188: 9-edge reference-decile + 1-row totals broadcasts (bin metadata)
     "orders_aging_buckets",  # E195: 1-row max-date anchor broadcast
+    "text_bigram_perplexity",  # E196: 1-row vocabulary-size relation broadcast
 }
 
 # Global Sort without a following limit: legitimate only when the sort
