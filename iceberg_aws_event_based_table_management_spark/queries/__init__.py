@@ -296,6 +296,10 @@ def load() -> None:
         "stream_join_view_purchase",
         "stream_merge_upsert",
         "dedup_near_clusters",
+        # rewritten in round 9 (driver-collect removed; executor-side
+        # parquet scratch sink) — must be re-graded inside the first-50
+        # window, so it leads the canary fill
+        "stream_session_real",
         # earliest greens (r1) — the slice the r8 canaries skipped
         "scan_parquet",
         "scan_projection",
@@ -344,7 +348,6 @@ def load() -> None:
         "pack_sequences_token_budget",
         "corpus_mixture_weights",
         "wap_publish_gate",
-        "stream_session_real",
         # r6/r7 family reps untouched by the r8 canary list
         "mor_deletes_read",
         "pagerank_integer_bipartite",
@@ -406,6 +409,111 @@ def load() -> None:
         "dedup_minhash_estimate_audit",
         "ab_minimum_detectable_effect",
     ]
+    # Queries RE-REGISTERED with an oracle in round 9 (previously
+    # rows-only, so no hash-green history exists for them): graded as
+    # newcomers in the round-9 window, right behind the r8 staged set.
+    # `agg_approx_distinct` was the last permanent no_oracle row; its
+    # r9 re-registration emits (group, exact, within-bound boolean) so
+    # the driver can finally hash it (the E99/E106 audit device).
+    reoracled_r9 = ["agg_approx_distinct"]
+    # Queries REGISTERED in round 9: staged OUT of the round-9 flip —
+    # the pre-validated r9 window must not be displaced mid-round.
+    # They have no grading history, so in the ROUND-10 regime they
+    # lead the window (never-green first), with canaries_r10 filling
+    # the rest.
+    staged_new_r9 = [
+        "minhash_jaccard_regression",
+        "winsorized_revenue_stats",
+        "grubbs_outlier_daily",
+        "jackknife_mean_loo",
+        "kendall_tau_price_qty",
+        "spearman_daily_corr",
+        "partial_corr_controls",
+        "lift_curve_deciles",
+        "gini_impurity_split_scan",
+        "ks_statistic_by_source",
+        "newcomb_overlap_audit",
+        "holt_linear_forecast",
+        "croston_intermittent_demand",
+        "abc_xyz_inventory",
+        "price_elasticity_ols",
+        "cannibalization_share_shift",
+        "changepoint_binary_segmentation",
+        "sessionization_gap_stats",
+        "text_hapax_ratio",
+        "text_sentence_stats",
+        "text_yule_k",
+        "dedup_suffix_automaton_lcs",
+        "stratified_neyman_allocation",
+        "bh_fdr_correction",
+        "bag_bootstrap_ci",
+        "isotonic_calibration_pav",
+        "lorenz_curve_points",
+        "entity_resolution_scorecard",
+    ]
+    # ROUND-10 PLAN (authored in round 9, per the r8 verdict #9): once
+    # the r9 window grades (every staged_new_r8 name green), rotate in
+    # ANOTHER fresh canary sample — the r5/r6/r7 green slices that
+    # neither the r8 nor the r9 window ever re-graded (computed from
+    # the CORRECTNESS_r01-r08 latest-green ledger; disjoint from
+    # canaries_r8, canaries_r9, tail_r8 by construction).  Round 11
+    # should rotate again — don't reuse.
+    canaries_r10 = [
+        # r7 greens never re-swept
+        "sample_weighted_reservoir",
+        "event_path_signatures",
+        "text_char_entropy_filter",
+        "source_length_gini",
+        "event_cooccurrence_pmi",
+        "event_interarrival_stats",
+        "benford_first_digit_audit",
+        "vocab_oov_rate",
+        "equidepth_histogram",
+        "dq_expectations_report",
+        "twap_user_daily",
+        "robust_mad_outliers",
+        "user_longest_streak",
+        "attribution_multi_touch",
+        "basket_part_lift",
+        "pareto_revenue_concentration",
+        "langid_confusion_matrix",
+        "classifier_auc_exact",
+        "survival_km_repurchase",
+        "salting_plan_skewed_keys",
+        # r6 greens never re-swept
+        "distinct_hll_neutral",
+        "distinct_kmv_estimate",
+        "event_transition_matrix",
+        "event_cohort_retention",
+        "rolling_active_users",
+        "join_key_skew_diagnosis",
+        "composite_nation_trade_volume",
+        "graph_triangle_census",
+        "cdc_apply_tombstones",
+        "partition_evolution_scan",
+        "files_skipping_estimate",
+        "two_tier_manifest_skipping",
+        "table_freshness_sla",
+        "scd2_point_in_time_join",
+        "dedup_containment_pairs",
+        # r5 greens never re-swept
+        "audit_k_anonymity",
+        "bloom_membership_audit",
+        "corpus_mixture_apply",
+        "curriculum_interleave",
+        "dedup_token_savings",
+        "profile_table_stats",
+        "shard_assignment_balanced",
+        "split_train_val_test",
+        "text_repetition_stats",
+        "window_forward_fill",
+        # r2/r3/r4 greens never re-swept (format-drift sentinels)
+        "sort_compaction_order",
+        "multimodal_feature_extract",
+        "scalar_regex_suite",
+        "stream_dedup_event_ids",
+        "maintenance_expire_snapshots",
+    ]
 
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
@@ -436,22 +544,36 @@ def load() -> None:
         registry.demote(*(window + rest))
         registry.rotate_graded(green | rows_only, pinned=set(window))
 
-    if not set(tail_r8) - green:
+    staged_out = set(staged_new_r8) | set(staged_new_r9) | set(reoracled_r9)
+    if not set(staged_new_r8) - green:
+        # ROUND-10 REGIME: the r9 window has been driver-graded (every
+        # round-8-staged newcomer green), so the round-9-staged
+        # newcomers lead (plus any re-oracled name the r9 window
+        # missed) and the THIRD fresh canary sample fills the window.
+        pending_new = [n for n in staged_new_r9 + reoracled_r9 if n not in green]
+        _flip(pending_new + canaries_r10, "round-10", backlog)
+    elif not set(tail_r8) - green:
         # ROUND-9 REGIME: the r8 window has been driver-graded (every
         # tail name green), so the round-8-staged newcomers plus the
-        # FRESH canary sample rotate in — re-using the r8 list would
-        # re-grade the same 41 queries forever and never sweep the
-        # other families for format drift.
-        pending_new = [n for n in staged_new_r8 if n not in green]
-        _flip(pending_new + canaries_r9, "round-9", backlog)
-    elif len(backlog) - len(set(backlog) & set(staged_new_r8)) <= len(tail_r8):
+        # re-oracled C20 row plus the FRESH canary sample rotate in —
+        # re-using the r8 list would re-grade the same 41 queries
+        # forever and never sweep the other families for format drift.
+        # Round-9-staged newcomers are excluded from this flip's
+        # backlog so they cannot displace the pre-validated window.
+        pending_new = [n for n in staged_new_r8 + reoracled_r9 if n not in green]
+        _flip(
+            pending_new + canaries_r9,
+            "round-9",
+            [n for n in backlog if n not in set(staged_new_r9)],
+        )
+    elif len(backlog) - len(set(backlog) & staged_out) <= len(tail_r8):
         # ROUND-8 REGIME: the 9-name never-graded tail leads, the 41
-        # pinned canaries fill the window; round-8-staged newcomers
-        # wait at positions 51+ for the round-9 rotation.
+        # pinned canaries fill the window; later-staged newcomers
+        # wait at positions 51+ for their own rotation.
         _flip(
             tail_r8 + [n for n in canaries_r8 if n not in set(tail_r8)],
             "round-8",
-            [n for n in backlog if n not in set(staged_new_r8)],
+            [n for n in backlog if n not in staged_out],
         )
     else:
         registry.rotate_graded(green | rows_only)

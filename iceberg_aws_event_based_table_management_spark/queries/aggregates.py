@@ -94,15 +94,50 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", tier="C", oracle=None)
+@register(
+    "agg_approx_distinct",
+    tier="C",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C20: approximate count-distinct (HLL++).  Rows-only check — the
-    sketch is engine-specific (SURVEY SS5.2); the test suite bounds its
-    error vs the exact count instead."""
-    return (
+    """C20: approximate count-distinct (HLL++) as an oracle-checkable
+    AUDIT (the E99/E106 device).  Spark's HLL++ sketch is engine-
+    specific, so the raw estimate can never hash-match a DuckDB value;
+    what IS deterministic and portable is the CLAIM the sketch makes:
+    at rsd=0.02, |approx - exact| stays within 5% of exact (2.5 sigma
+    of the published standard error).  The query emits (group, exact,
+    within-bound boolean); the oracle recomputes the exact count and
+    asserts the boolean — Spark's sketch is deterministic for a fixed
+    input, so the row is hash-stable round over round.  Reference tie:
+    the approx-count-distinct row of the delegated spark-sql surface
+    (EmrOnEc2OptimizeDataExecutor.java:88-94).
+
+    Scale shape: at 100 TB the exact COUNT(DISTINCT) audit anchor runs
+    on a sampled slice and the HLL estimate replaces it everywhere
+    else; both sides here are single-shuffle partial-merge aggregates
+    over the same scan (HLL registers merge map-side, the expand for
+    COUNT DISTINCT combines per-group)."""
+    agg = (
         io.table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= F.lit(0.05) * F.col("exact_orders")
+        ).alias("approx_within_bound"),
     )
 
 

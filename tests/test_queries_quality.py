@@ -14,10 +14,12 @@ def _q(name):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    approx = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in _q("agg_approx_distinct")(spark, sf_dir).collect()
-    }
+    """C20 is now an oracle-checkable audit (r8 verdict #3): the row
+    carries the exact count plus a within-5%-bound boolean that the
+    DuckDB oracle asserts TRUE; this test re-derives the exact counts
+    independently and checks the audit booleans all hold."""
+    rows = _q("agg_approx_distinct")(spark, sf_dir).collect()
+    audited = {r["l_returnflag"]: r for r in rows}
     exact = {
         r["l_returnflag"]: r["n"]
         for r in io.table(spark, sf_dir, "lineitem")
@@ -25,8 +27,10 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
+    assert set(audited) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) / n < 0.1, (k, approx[k], n)
+        assert audited[k]["exact_orders"] == n
+        assert audited[k]["approx_within_bound"] is True, (k, n)
 
 
 def test_stream_ingest_matches_batch_counts(spark, sf_dir):
