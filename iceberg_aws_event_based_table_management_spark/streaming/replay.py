@@ -20,6 +20,7 @@ production the same queries run unbounded with checkpointing.
 from __future__ import annotations
 
 import atexit
+import datetime
 import os
 import shutil
 import tempfile
@@ -72,6 +73,36 @@ def replay_dir(spark: SparkSession, sf_dir: str, workdir: str, n_chunks: int = 8
         for fname in os.listdir(cdir):
             os.utime(os.path.join(cdir, fname), (base + k, base + k))
     return out
+
+
+SENTINEL_USER_ID = -1
+
+
+def append_watermark_sentinel(
+    spark: SparkSession, sf_dir: str, replay_path: str, n_chunks: int = 8
+) -> None:
+    """Append one far-future sentinel event as a final replay chunk.
+
+    Append-mode aggregations only emit a window once the watermark
+    passes its end; on a BOUNDED replay the watermark stops at the last
+    real event, so the tail sessions would stay in the state store
+    forever.  A single sentinel event 10 days past the fixture's max
+    event time advances the watermark over every real window in the
+    final micro-batch (plus Spark's no-data batch), flushing them to
+    the append sink.  The sentinel's own window never closes, so it
+    never reaches the sink; consumers filter `user_id >= 0` anyway as
+    belt and braces.  Unbounded production streams don't need this —
+    new data plays the same role."""
+    max_ts = io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + datetime.timedelta(days=10), SENTINEL_USER_ID, "sentinel", 0.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    cdir = os.path.join(replay_path, f"chunk={n_chunks + 1}")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(cdir)
+    base = 1_600_000_000
+    for fname in os.listdir(cdir):
+        os.utime(os.path.join(cdir, fname), (base + n_chunks + 1, base + n_chunks + 1))
 
 
 REPLAY_SHUFFLE_PARTITIONS = 8

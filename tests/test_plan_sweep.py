@@ -18,12 +18,14 @@ import pytest
 import iceberg_aws_event_based_table_management_spark as engine
 
 # Streaming queries execute a real micro-batch run inside the callable
-# (memory sink + collect) — their interesting plan is the streaming
-# one, asserted in tests/test_streaming.py.  Source round-trips write
-# scratch files.  Both are excluded from a pure plan sweep.
+# (bounded aggregates via memory sink; row-level and user x session
+# sized outputs via executor-side parquet scratch sinks handed back as
+# lazy reads) — their interesting plan is the streaming one, asserted
+# in tests/test_streaming.py.  Source round-trips write scratch files.
+# Both are excluded from a pure plan sweep.
 SKIP = {
     "stream_events_ingest",
-    "stream_session_real",
+    "stream_session_real",  # r9: append-mode watermark run -> parquet scratch sink (no driver collect)
     "stream_watermark_latedrop",
     "stream_stateful_trigger",
     "stream_should_optimize",
