@@ -48,3 +48,41 @@ def salted_sum_count(
     return partial.groupBy(*keys).agg(
         F.sum("_psum").alias("total"), F.sum("_pcnt").cast("long").alias("n_rows")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof shuffle equi-join: salt the big/skewed side, replicate
+    the small side across the salt domain, join on (key, salt).
+
+    A hot key on a plain shuffle join lands every one of its rows on a
+    single reducer; salting spreads them over `salt_buckets` reducers
+    at the cost of replicating the SMALL side `salt_buckets` times
+    (bounded — the small side must be dimension-sized, just not small
+    enough to broadcast outright).  The left salt is a hash of the
+    whole row modulo the bucket count: deterministic, and the join
+    result is salt-invariant because every (key, salt) pair on the
+    right exists.
+
+    Production default is AQE's skew-join split
+    (spark.sql.adaptive.skewJoin.enabled, on in session.py), which
+    achieves the same spread at runtime without replication; this
+    operator is for non-AQE engines, for skew AQE's size heuristics
+    miss (many medium-hot keys just under the split threshold), and as
+    the measurable yardstick tests/test_skew_e2e.py holds AQE against.
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets).alias(
+        "_salt"
+    )
+    salted_left = left.withColumn("_salt", salt)
+    exploded_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    out = salted_left.join(exploded_right, [key, "_salt"], how)
+    return out.drop("_salt")
