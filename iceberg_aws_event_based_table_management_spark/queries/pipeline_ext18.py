@@ -328,8 +328,13 @@ def anova_f_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssb = F.col("t") - gm
     sst = F.col("sxx_all").cast("double") - gm
     ssw = sst - ssb
-    f_stat = (ssb / (F.col("k") - 1).cast("double")) / (
-        ssw / (F.col("nn") - F.col("k")).cast("double")
+    # try_divide mirrors DuckDB's x/0 -> NULL: with a single source
+    # (k=1) or zero residual df the F statistic is undefined, and both
+    # engines must agree on NULL rather than ANSI-error (degenerate
+    # sweep, r8 verdict #8).
+    f_stat = F.try_divide(
+        F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+        F.try_divide(ssw, (F.col("nn") - F.col("k")).cast("double")),
     )
     return tot.select(
         "k",

@@ -256,13 +256,16 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = c.crossJoin(F.broadcast(g))
     nd = F.col("n").cast("decimal(19,0)")
-    theta = (
+    # try_divide mirrors DuckDB's x/0 -> NULL: zero pre-period variance
+    # (single user, or every user tied) makes theta undefined and both
+    # engines must agree on NULL (degenerate sweep, r8 verdict #8).
+    theta = F.try_divide(
         (nd * F.col("sxy") - F.col("sx").cast("decimal(19,0)") * F.col("sy")).cast(
             "double"
-        )
-        / (nd * F.col("sxx") - F.col("sx").cast("decimal(19,0)") * F.col("sx")).cast(
+        ),
+        (nd * F.col("sxx") - F.col("sx").cast("decimal(19,0)") * F.col("sx")).cast(
             "double"
-        )
+        ),
     )
     mean_y = F.col("sy_c").cast("double") / F.col("n_c").cast("double")
     mean_x = F.col("sx_c").cast("double") / F.col("n_c").cast("double")
@@ -462,8 +465,11 @@ def zipf_term_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(lambda lr, lf: lr * lr).alias("slxx"),
     )
     nd = F.col("n").cast("double")
-    slope = (nd * F.col("slxy") - F.col("slx") * F.col("sly")) / (
-        nd * F.col("slxx") - F.col("slx") * F.col("slx")
+    # try_divide mirrors DuckDB's x/0 -> NULL: an empty corpus (or one
+    # with a single distinct rank) has no defined slope.
+    slope = F.try_divide(
+        nd * F.col("slxy") - F.col("slx") * F.col("sly"),
+        nd * F.col("slxx") - F.col("slx") * F.col("slx"),
     )
     return folded.select(
         F.col("n").alias("n_terms"),

@@ -121,12 +121,22 @@ def drift_psi_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list("n_chars")).alias("s"),
         F.count("*").cast("long").alias("n_ref"),
     )
+    # Guard the empty-reference case: size(s)=0 makes the nearest-rank
+    # index 0, which DuckDB answers with NULL (s[0]) while Spark's
+    # element_at ANSI-errors — NULL edges drop out of the bin predicate
+    # identically in both engines (degenerate sweep, r8 verdict #8).
     edges = srt.select(
         "n_ref",
         F.transform(
             F.sequence(F.lit(1), F.lit(_PSI_BINS - 1)),
-            lambda k: F.element_at(
-                "s", F.ceil(k * F.size("s") / float(_PSI_BINS)).cast("int")
+            lambda k: F.when(
+                F.size("s") > 0,
+                F.element_at(
+                    "s",
+                    F.greatest(
+                        F.lit(1), F.ceil(k * F.size("s") / float(_PSI_BINS)).cast("int")
+                    ),
+                ),
             ),
         ).alias("b"),
     )
