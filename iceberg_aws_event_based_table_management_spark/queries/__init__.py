@@ -72,6 +72,7 @@ def load() -> None:
         pipeline_ext21,
         pipeline_ext22,
         pipeline_ext23,
+        pipeline_ext24,
     )
 
     from .. import registry
@@ -432,7 +433,7 @@ def load() -> None:
         "lift_curve_deciles",
         "gini_impurity_split_scan",
         "ks_statistic_by_source",
-        "newcomb_overlap_audit",
+        "vocab_overlap_coefficient",
         "holt_linear_forecast",
         "croston_intermittent_demand",
         "abc_xyz_inventory",
@@ -443,7 +444,7 @@ def load() -> None:
         "text_hapax_ratio",
         "text_sentence_stats",
         "text_yule_k",
-        "dedup_suffix_automaton_lcs",
+        "dedup_band_tuning_audit",
         "stratified_neyman_allocation",
         "bh_fdr_correction",
         "bag_bootstrap_ci",

@@ -34,7 +34,10 @@ def test_iceberg_call_executor_live_rewrite(spark, tmp_path):
     if not _iceberg_on_classpath(spark):
         pytest.skip(
             "iceberg-spark-runtime not on the classpath — iceberg-call "
-            "stays a rendered-SQL seam (covered by test_maintenance.py)"
+            "stays a rendered-SQL seam (covered by test_maintenance.py). "
+            "Vendoring the jar from Maven Central was attempted in r9 "
+            "and is blocked: this sandbox has no network (curl to "
+            "repo1.maven.org fails DNS) and ships no local ivy/m2 cache."
         )
 
     cat = "it_cat"

@@ -1,0 +1,134 @@
+"""Measured scaling curve for the heavy-dedup family (r8 verdict #5).
+
+Builds synthetic corpora at multiples of sf0.1 (an sf1-equivalent at
+x10) and times each dedup query across the curve, fitting the log-log
+scaling exponent.  SCALE.md's dedup rows argue linearity from plan
+shape; this converts the argument into a measurement exactly where
+100 TB risk concentrates.
+
+Corpus construction preserves the DUPLICATE-DENSITY PROFILE: copy k of
+the sf0.1 documents gets every word suffixed with the copy tag, so
+copies share zero shingle/token vocabulary — within-copy duplicate
+structure is replicated exactly, cross-copy similarity is zero, and
+the true output (duplicate pairs, clusters) scales x k by
+construction.  Naive replication (identical text) would inflate every
+duplicate cluster k-fold and make pair counts grow k^2 BY
+CONSTRUCTION, which would measure the fixture, not the engine.
+
+Usage: python tools/scale_probe.py [--mults 1,3,10] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import iceberg_aws_event_based_table_management_spark as engine
+from iceberg_aws_event_based_table_management_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_simhash_hamming",
+    "dedup_prefix_filter_pairs",
+    "dedup_incremental_neardup",
+    "dedup_cluster_survivors",
+]
+ID_STRIDE = 10_000_000
+
+
+def build_scaled(spark, mult: int, workdir: str) -> str:
+    out = os.path.join(workdir, f"x{mult}")
+    dest = os.path.join(out, "documents.parquet")
+    if os.path.exists(dest):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for k in range(mult):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * ID_STRIDE))
+        if k > 0:
+            # disjoint vocabulary per copy: every word suffixed x{k}
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1x{k}")
+            ).withColumn("n_chars", F.length("text"))
+        parts.append(c)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(max(4, 4 * mult)).write.mode("overwrite").parquet(dest)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+    queries = args.queries.split(",")
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine.load_all_queries()
+    qmap = engine.query_map()
+
+    workdir = "/tmp/dedup-scale-probe"
+    shutil.rmtree(workdir, ignore_errors=True)
+    dirs = {m: build_scaled(spark, m, workdir) for m in mults}
+
+    # warm the JVM/codegen/shuffle paths once on the smallest corpus
+    for q in queries:
+        qmap[q](spark, dirs[mults[0]]).count()
+
+    results: dict[str, dict] = {}
+    for q in queries:
+        times, rows = {}, {}
+        for m in mults:
+            # min of 2 runs: a single local-mode run is exposed to GC
+            # pauses and shuffle-dir churn from the previous query's
+            # x10 run (observed 40s vs 4s flukes); min is the standard
+            # noise floor estimator for scaling curves
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.monotonic()
+                n = qmap[q](spark, dirs[m]).count()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[m] = round(best, 3)
+            rows[m] = n
+        lo, hi = mults[0], mults[-1]
+        exponent = math.log(times[hi] / times[lo]) / math.log(hi / lo)
+        results[q] = {
+            "seconds": {str(m): times[m] for m in mults},
+            "rows": {str(m): rows[m] for m in mults},
+            "exponent_x1_to_x%d" % hi: round(exponent, 3),
+        }
+        print(q, results[q])
+
+    payload = {
+        "base": BASE,
+        "mults": mults,
+        "note": "copy-k words suffixed -> disjoint cross-copy vocabulary; "
+        "duplicate density preserved, output scales linearly by construction",
+        "results": results,
+    }
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
