@@ -73,6 +73,7 @@ def load() -> None:
         pipeline_ext22,
         pipeline_ext23,
         pipeline_ext24,
+        pipeline_ext25,
     )
 
     from .. import registry
