@@ -74,6 +74,7 @@ def load() -> None:
         pipeline_ext23,
         pipeline_ext24,
         pipeline_ext25,
+        pipeline_ext26,
     )
 
     from .. import registry
