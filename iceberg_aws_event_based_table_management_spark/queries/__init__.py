@@ -75,6 +75,7 @@ def load() -> None:
         pipeline_ext24,
         pipeline_ext25,
         pipeline_ext26,
+        pipeline_ext27,
     )
 
     from .. import registry
