@@ -420,8 +420,11 @@ def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("event_type").orderBy(F.desc("absdev"), "day")
         ),
     ).filter(F.col("rn") == 1)
-    g_expr = F.col("maxabs").cast("double") / F.sqrt(
-        F.col("ssq").cast("double") / (F.col("nd") - 1).cast("double")
+    # try_divide: a single-day series has no sample variance (df=0) —
+    # DuckDB's x/0 -> NULL must be mirrored (degenerate sweep)
+    g_expr = F.try_divide(
+        F.col("maxabs").cast("double"),
+        F.sqrt(F.try_divide(F.col("ssq").cast("double"), (F.col("nd") - 1).cast("double"))),
     )
     return (
         agg.join(peak.select("event_type", F.col("day").alias("peak_day")), "event_type")
@@ -513,8 +516,12 @@ def jackknife_mean_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ssq"),
     )
     nd = F.col("n").cast("double")
+    # try_divide: a single-document source has no leave-one-out set
+    # (n-1 = 0) — DuckDB's x/0 -> NULL must be mirrored
     se = F.sqrt(
-        (F.col("ssq").cast("double") / nd / nd) / (nd * (F.col("n") - 1).cast("double"))
+        F.try_divide(
+            F.col("ssq").cast("double") / nd / nd, nd * (F.col("n") - 1).cast("double")
+        )
     )
     return g.select(
         "source",
@@ -522,7 +529,10 @@ def jackknife_mean_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("s").cast("double") * 1000 / nd).cast("long").alias("mean_millichars"),
         F.floor(se * 1000).cast("long").alias("jk_se_millichars"),
         F.floor(
-            F.col("maxabs").cast("double") * 1000000 / (nd * (F.col("n") - 1).cast("double"))
+            F.try_divide(
+                F.col("maxabs").cast("double") * 1000000,
+                nd * (F.col("n") - 1).cast("double"),
+            )
         )
         .cast("long")
         .alias("max_loo_shift_microchars"),
@@ -559,11 +569,11 @@ _TAU_BUCKETS = 20
         ON (a.q < b.q) OR (a.q = b.q AND a.pb < b.pb)
     ),
     marg AS (
-      SELECT (SELECT CAST(SUM(c) AS HUGEINT) FROM cells) AS n,
-             (SELECT SUM(t * (t - 1) / 2)
+      SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) FROM cells) AS n,
+             (SELECT CAST(COALESCE(SUM(t * (t - 1) / 2), 0) AS HUGEINT)
               FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY q))
                AS tq,
-             (SELECT SUM(t * (t - 1) / 2)
+             (SELECT CAST(COALESCE(SUM(t * (t - 1) / 2), 0) AS HUGEINT)
               FROM (SELECT CAST(SUM(c) AS HUGEINT) AS t FROM cells GROUP BY pb))
                AS tp
     )
@@ -626,15 +636,20 @@ def kendall_tau_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(dec)
         .alias("discordant"),
     )
-    n_tot = cells.agg(F.sum("c").cast(dec).alias("n"))
+    # coalesce to 0: an empty grid must yield n=0 (not NULL, which the
+    # overflow guard would misread as an overflow)
+    n_tot = cells.agg(F.coalesce(F.sum("c"), F.lit(0)).cast(dec).alias("n"))
     tq = (
         cells.groupBy("q")
         .agg(F.sum("c").cast(dec).alias("t"))
         .agg(
-            F.sum(
-                _no_silent_overflow(
-                    (F.col("t") * (F.col("t") - 1) / 2).cast(dec), "E203 tq"
-                )
+            F.coalesce(
+                F.sum(
+                    _no_silent_overflow(
+                        (F.col("t") * (F.col("t") - 1) / 2).cast(dec), "E203 tq"
+                    )
+                ),
+                F.lit(0),
             )
             .cast(dec)
             .alias("tq")
@@ -644,10 +659,13 @@ def kendall_tau_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.groupBy("pb")
         .agg(F.sum("c").cast(dec).alias("t"))
         .agg(
-            F.sum(
-                _no_silent_overflow(
-                    (F.col("t") * (F.col("t") - 1) / 2).cast(dec), "E203 tp"
-                )
+            F.coalesce(
+                F.sum(
+                    _no_silent_overflow(
+                        (F.col("t") * (F.col("t") - 1) / 2).cast(dec), "E203 tp"
+                    )
+                ),
+                F.lit(0),
             )
             .cast(dec)
             .alias("tp")
@@ -659,8 +677,12 @@ def kendall_tau_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 = _no_silent_overflow(
         (F.col("n") * (F.col("n") - 1) / 2).cast(dec), "E203 n0"
     )
-    tau = (F.col("concordant") - F.col("discordant")).cast("double") / (
-        F.sqrt((n0 - F.col("tq")).cast("double")) * F.sqrt((n0 - F.col("tp")).cast("double"))
+    # try_divide: a fully-tied axis (n0 == tie term) or an empty/single
+    # input makes tau undefined; DuckDB's x/0 -> NULL must be mirrored
+    tau = F.try_divide(
+        (F.col("concordant") - F.col("discordant")).cast("double"),
+        F.sqrt((n0 - F.col("tq")).cast("double"))
+        * F.sqrt((n0 - F.col("tp")).cast("double")),
     )
     return j.select(
         F.col("n").cast("long").alias("n_rows"),
@@ -785,14 +807,15 @@ spearman_daily_corr.__doc__ = spearman_daily_corr.__doc__.format(
     ),
     s AS (
       SELECT CAST(COUNT(*) AS HUGEINT) AS n,
-             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
-             CAST(SUM(z) AS HUGEINT) AS sz,
-             SUM(CAST(x AS HUGEINT) * y) AS sxy,
-             SUM(CAST(x AS HUGEINT) * z) AS sxz,
-             SUM(CAST(y AS HUGEINT) * z) AS syz,
-             SUM(CAST(x AS HUGEINT) * x) AS sxx,
-             SUM(CAST(y AS HUGEINT) * y) AS syy,
-             SUM(CAST(z AS HUGEINT) * z) AS szz
+             CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx,
+             CAST(COALESCE(SUM(y), 0) AS HUGEINT) AS sy,
+             CAST(COALESCE(SUM(z), 0) AS HUGEINT) AS sz,
+             COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS sxy,
+             COALESCE(SUM(CAST(x AS HUGEINT) * z), 0) AS sxz,
+             COALESCE(SUM(CAST(y AS HUGEINT) * z), 0) AS syz,
+             COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS sxx,
+             COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS syy,
+             COALESCE(SUM(CAST(z AS HUGEINT) * z), 0) AS szz
       FROM v
     ),
     r AS (
@@ -842,17 +865,22 @@ def partial_corr_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
 
     def p(u: str, w: str):
-        return F.sum(
-            _no_silent_overflow(
-                (F.col(u).cast(dec) * F.col(w)).cast(dec), f"E205 {u}*{w}"
-            )
+        # coalesce to 0 on an empty scan: a NULL sum would trip the
+        # overflow guard, which is reserved for genuine overflow
+        return F.coalesce(
+            F.sum(
+                _no_silent_overflow(
+                    (F.col(u).cast(dec) * F.col(w)).cast(dec), f"E205 {u}*{w}"
+                )
+            ),
+            F.lit(0),
         ).cast(dec)
 
     s = v.agg(
         F.count("*").cast(dec).alias("n"),
-        F.sum("x").cast(dec).alias("sx"),
-        F.sum("y").cast(dec).alias("sy"),
-        F.sum("z").cast(dec).alias("sz"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast(dec).alias("sx"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast(dec).alias("sy"),
+        F.coalesce(F.sum("z"), F.lit(0)).cast(dec).alias("sz"),
         p("x", "y").alias("sxy"),
         p("x", "z").alias("sxz"),
         p("y", "z").alias("syz"),
@@ -882,11 +910,14 @@ def partial_corr_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"E205 var {w}",
             ).cast("double")
         )
-        return num / (du * dw)
+        # try_divide: zero variance in any variable (single/all-tied
+        # input) leaves the correlation undefined — DuckDB NULL
+        return F.try_divide(num, du * dw)
 
     rxy, rxz, ryz = corr("sxy", "x", "y"), corr("sxz", "x", "z"), corr("syz", "y", "z")
-    partial = (rxy - rxz * ryz) / (
-        F.sqrt(F.lit(1.0) - rxz * rxz) * F.sqrt(F.lit(1.0) - ryz * ryz)
+    partial = F.try_divide(
+        rxy - rxz * ryz,
+        F.sqrt(F.lit(1.0) - rxz * rxz) * F.sqrt(F.lit(1.0) - ryz * ryz),
     )
     return s.select(
         F.col("n").cast("long").alias("n_rows"),

@@ -118,16 +118,23 @@ def lift_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("cum_n"),
         F.sum("npos").over(w).alias("cum_pos"),
     ).crossJoin(F.broadcast(tot))
+    # try_divide: zero total positives (no customer has any order in a
+    # degenerate fixture) leaves gain/lift undefined — DuckDB NULL
     return cum.select(
         "decile",
         F.col("n").alias("n_customers"),
         F.col("npos").alias("n_buyers"),
-        F.floor(F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double") * 1000000)
+        F.floor(
+            F.try_divide(F.col("cum_pos").cast("double"), F.col("tot_pos").cast("double"))
+            * 1000000
+        )
         .cast("long")
         .alias("cum_gain_ppm"),
         F.floor(
-            (F.col("cum_pos").cast("double") * F.col("tot_n").cast("double"))
-            / (F.col("cum_n").cast("double") * F.col("tot_pos").cast("double"))
+            F.try_divide(
+                F.col("cum_pos").cast("double") * F.col("tot_n").cast("double"),
+                F.col("cum_n").cast("double") * F.col("tot_pos").cast("double"),
+            )
             * 1000000
         )
         .cast("long")
@@ -392,13 +399,17 @@ def ks_statistic_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("source").orderBy(F.desc("num"), "n_chars")
         ),
     ).filter(F.col("rn") == 1)
+    # try_divide: a single-source corpus has an empty "rest" side —
+    # DuckDB's x/0 -> NULL must be mirrored
     return ranked.select(
         "source",
         F.col("ns").cast("long").alias("n_docs"),
         F.col("n_chars").alias("at_chars"),
         F.floor(
-            F.col("num").cast("double")
-            / (F.col("ns").cast("double") * (F.col("nall") - F.col("ns")).cast("double"))
+            F.try_divide(
+                F.col("num").cast("double"),
+                F.col("ns").cast("double") * (F.col("nall") - F.col("ns")).cast("double"),
+            )
             * 1000000
         )
         .cast("long")

@@ -381,7 +381,7 @@ _SESS_GAP_MIN = 30
       FROM islands WHERE session_gap_s IS NOT NULL
     )
     SELECT
-      (SELECT MAX(n) FROM dur_ranked) AS n_sessions,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions,
       (SELECT dur_s FROM dur_ranked WHERE r = CAST(CEIL(n * 0.50) AS BIGINT))
         AS p50_duration_s,
       (SELECT dur_s FROM dur_ranked WHERE r = CAST(CEIL(n * 0.90) AS BIGINT))
@@ -454,9 +454,14 @@ def sessionization_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pick(df: DataFrame, col: str, q: float, name: str) -> DataFrame:
-        return df.filter(
-            F.col("r") == F.ceil(F.col("n") * q).cast("long")
-        ).select(F.col(col).alias(name))
+        # a global aggregate, not filter+select: on an EMPTY population
+        # (no sessions / no inter-session gaps) the oracle's scalar
+        # subquery yields one NULL row, so this side must too
+        return df.agg(
+            F.max(
+                F.when(F.col("r") == F.ceil(F.col("n") * q).cast("long"), F.col(col))
+            ).alias(name)
+        )
 
     n_sessions = sessions.agg(F.count("*").cast("long").alias("n_sessions"))
     mean_ev = sessions.agg(

@@ -336,20 +336,29 @@ def stratified_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nhd = F.col("nh").cast("double")
+    # try_divide throughout: a single-document stratum has no S_h
+    # (df=0), and an all-tied corpus has wtot=0 — DuckDB's x/0 -> NULL
+    # must be mirrored (degenerate sweep)
     w_expr = nhd * F.sqrt(
-        (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        / (nhd * (F.col("nh") - 1).cast("double"))
-        / nhd
+        F.try_divide(
+            F.try_divide(
+                (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+                nhd * (F.col("nh") - 1).cast("double"),
+            ),
+            nhd,
+        )
     )
     wt = s.select("source", "nh", w_expr.alias("w"))
     tot = wt.agg(F.sum("w").alias("wtot"), F.sum("nh").cast("long").alias("ntot"))
     fl = wt.crossJoin(F.broadcast(tot)).select(
         "source",
         "nh",
-        F.floor(_NEYMAN_BUDGET * F.col("w") / F.col("wtot")).cast("long").alias("base"),
+        F.floor(F.try_divide(_NEYMAN_BUDGET * F.col("w"), F.col("wtot")))
+        .cast("long")
+        .alias("base"),
         (
-            _NEYMAN_BUDGET * F.col("w") / F.col("wtot")
-            - F.floor(_NEYMAN_BUDGET * F.col("w") / F.col("wtot"))
+            F.try_divide(_NEYMAN_BUDGET * F.col("w"), F.col("wtot"))
+            - F.floor(F.try_divide(_NEYMAN_BUDGET * F.col("w"), F.col("wtot")))
         ).alias("rem"),
         F.floor(_NEYMAN_BUDGET * F.col("nh").cast("double") / F.col("ntot").cast("double"))
         .cast("long")
@@ -454,7 +463,7 @@ def _p_two_sided_col(z: Column) -> Column:
     ),
     ranked AS (
       SELECT source, nh, m, z_milli, p_micro,
-             ROW_NUMBER() OVER (ORDER BY p_micro, source) AS k
+             ROW_NUMBER() OVER (ORDER BY p_micro NULLS LAST, source) AS k
       FROM p
     ),
     cutoff AS (
@@ -506,16 +515,16 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "nh",
         "m",
-        (
+        F.try_divide(
             (
                 F.col("sx").cast("double") / F.col("nh").cast("double")
                 - F.col("sxa").cast("double") / F.col("n").cast("double")
             )
-            * F.sqrt(F.col("nh").cast("double"))
-            / F.sqrt(
+            * F.sqrt(F.col("nh").cast("double")),
+            F.sqrt(
                 (F.col("n") * F.col("sxx") - F.col("sxa") * F.col("sxa")).cast("double")
                 / (F.col("n").cast("double") * F.col("n").cast("double"))
-            )
+            ),
         ).alias("zval"),
     )
     p = z.select(
@@ -525,8 +534,11 @@ def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("zval") * 1000).cast("long").alias("z_milli"),
         F.floor(_p_two_sided_col(F.col("zval")) * 1000000).cast("long").alias("p_micro"),
     )
+    # NULLS LAST explicitly: Spark ascending defaults nulls FIRST,
+    # DuckDB nulls LAST — an undefined p (zero corpus variance) must
+    # rank identically in both engines
     ranked = p.withColumn(
-        "k", F.row_number().over(Window.orderBy("p_micro", "source"))
+        "k", F.row_number().over(Window.orderBy(F.asc_nulls_last("p_micro"), "source"))
     )
     cutoff = ranked.agg(
         F.coalesce(
@@ -698,12 +710,26 @@ def bag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_millichars"),
     )
+    # aggregates, not filter+select: on an EMPTY corpus the replica
+    # table is empty, and a filter would yield 0 rows where the
+    # oracle's scalar subqueries yield one NULL row — a global agg
+    # always returns exactly one row (NULL when nothing matched)
     nb = rm.agg(F.max("nb").cast("long").alias("b_replicas"))
-    lo = rm.filter(F.col("r") == F.ceil(F.col("nb") * 0.025).cast("long")).select(
-        F.floor(F.col("mean_b") * 1000).cast("long").alias("ci_lo_millichars")
+    lo = rm.agg(
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(F.col("nb") * 0.025).cast("long"),
+                F.floor(F.col("mean_b") * 1000).cast("long"),
+            )
+        ).alias("ci_lo_millichars")
     )
-    hi = rm.filter(F.col("r") == F.ceil(F.col("nb") * 0.975).cast("long")).select(
-        F.floor(F.col("mean_b") * 1000).cast("long").alias("ci_hi_millichars")
+    hi = rm.agg(
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(F.col("nb") * 0.975).cast("long"),
+                F.floor(F.col("mean_b") * 1000).cast("long"),
+            )
+        ).alias("ci_hi_millichars")
     )
     return (
         base.crossJoin(F.broadcast(nb))
@@ -933,9 +959,11 @@ def lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rr"),
         )
     )
-    share = F.floor(F.col("cum").cast("double") / F.col("tot").cast("double") * 1000000).cast(
-        "long"
-    )
+    # try_divide: zero total revenue (degenerate fixture where no order
+    # matches any customer) makes every share undefined — DuckDB NULL
+    share = F.floor(
+        F.try_divide(F.col("cum").cast("double"), F.col("tot").cast("double")) * 1000000
+    ).cast("long")
     return pts.join(ranked, pts.rr == ranked.r).select(
         "vigintile",
         F.col("rr").cast("long").alias("n_customers_cum"),

@@ -45,18 +45,20 @@ SHAPES = ["empty", "single", "tied"]
 TIED_N = 12
 
 
-def _round8_names() -> list[str]:
+def _staged_names(list_name: str) -> list[str]:
     import re
     from pathlib import Path
 
     src = (
         Path(engine.__file__).parent / "queries" / "__init__.py"
     ).read_text()
-    m = re.search(r"staged_new_r8 = \[(.*?)\]", src, re.S)
+    m = re.search(rf"{list_name} = \[(.*?)\]", src, re.S)
     return re.findall(r'"([a-z0-9_]+)"', m.group(1))
 
 
-ROUND8 = _round8_names()
+# the round-8 batch AND the round-9 batch both run the sweep — every
+# new operator family earns its empty/singleton/all-tied coverage
+ROUND8 = _staged_names("staged_new_r8") + _staged_names("staged_new_r9")
 
 
 @pytest.fixture(scope="module")
