@@ -86,6 +86,24 @@ NESTED_LOOP_OK = {
     "drift_psi_lengths",  # E188: 9-edge reference-decile + 1-row totals broadcasts (bin metadata)
     "orders_aging_buckets",  # E195: 1-row max-date anchor broadcast
     "text_bigram_perplexity",  # E196: 1-row vocabulary-size relation broadcast
+    # round-9 batch (E199-E226): every entry below is a broadcast of a
+    # 1-row global-statistics relation or a bounded metadata frame —
+    # reviewed individually, none multiplies data-sized sides
+    "kendall_tau_price_qty",  # E203: <=1000-cell grid self-join (lexicographic pair predicate) + 1-row n/tq/tp broadcasts
+    "lift_curve_deciles",  # E206: 1-row (tot_n, tot_pos) relation broadcast into the 10-row curve
+    "gini_impurity_split_scan",  # E207: 1-row (nt, post) totals + 1-row best/best_t broadcasts over the <=50-row grid
+    "ks_statistic_by_source",  # E208: sources x length-grid fill (value-domain metadata) + 1-row corpus-total broadcast
+    "croston_intermittent_demand",  # E211: 1-row (min,max)-date bounds broadcast into the |brands| x calendar spine
+    "abc_xyz_inventory",  # E212: 1-row revenue-total + 1-row week-count broadcasts
+    "changepoint_binary_segmentation",  # E215: 1-row (nd, S) totals broadcast over the day series
+    "sessionization_gap_stats",  # E216: six 1-row percentile/mean aggregates glued into the single output row
+    "dedup_band_tuning_audit",  # E220: 1-row truth-count relation broadcast into the 4-config table
+    "stratified_neyman_allocation",  # E221: 1-row (wtot, ntot) + 1-row leftover broadcasts over |sources| rows
+    "bh_fdr_correction",  # E222: 1-row corpus-stats + 1-row BH-cutoff broadcasts over |sources| rows
+    "bag_bootstrap_ci",  # E223: 100-row replica-id frame broadcast into the scan-side explode; 1-row CI glue
+    "isotonic_calibration_pav",  # E224: bin-grid interval lattice (B(B+1)/2 = 210 metadata rows)
+    "lorenz_curve_points",  # E225: 1-row (n, tot) relation broadcast into the 20-point frame
+    "entity_resolution_scorecard",  # E226: 1-row marginals broadcast over the 4-row pattern table
 }
 
 # Global Sort without a following limit: legitimate only when the sort
