@@ -13,8 +13,13 @@ CORRECTNESS_r*.json records, with two hand-authored regime flips:
   excluded from this flip's backlog so they cannot displace the
   pre-validated window mid-round.
 - ROUND-9 (once every tail_r8 name is green): the round-8 newcomers
-  lead (never-graded first), and canaries_r9 — a FRESH sample, not a
-  rerun of the r8 list — fills the remaining slots.
+  lead (never-graded first), plus the re-oracled C20 row, and
+  canaries_r9 — a FRESH sample, not a rerun of the r8 list — fills
+  the remaining slots.
+- ROUND-10 (once every staged_new_r8 name is green): the round-9
+  newcomers (staged_new_r9) lead, and canaries_r10 — a third fresh
+  sample sweeping the r5-r7 green slices no prior window re-graded —
+  fills the rest.
 
 Rows-only registrations (oracle=None) are excluded from every backlog
 count and demoted with the greens: the driver can only ever record

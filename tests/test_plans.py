@@ -403,3 +403,45 @@ def test_round8_batch_plan_shapes(spark, sf_dir, qmap):
     plan = _plan(qmap["markov_next_event_accuracy"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_round9_batch_plan_shapes(spark, sf_dir, qmap):
+    """The round-9 operator batch's 100 TB postures, locked:
+
+    - partial_corr_controls: ONE aggregation over the scan — no join,
+      no window, a single exchange (the pure mergeable-statistics
+      shape);
+    - price_elasticity_ols: the part dim joins as a BROADCAST hash
+      join (never a shuffle of lineitem on partkey);
+    - kendall_tau_price_qty: the only nested-loop is the bounded
+      grid self-join plus 1-row stat glue — the lineitem scan itself
+      never cross-joins;
+    - text_yule_k / text_hapax_ratio: no joins at all — two stacked
+      rollups;
+    - lorenz_curve_points / lift_curve_deciles: the final curve is
+      assembled from broadcast glue, with zero Cartesian products;
+    - bag_bootstrap_ci: the x100 replica frame enters as a BROADCAST
+      nested loop on the scan side (map-side explode), and replica
+      means partial-aggregate: no data-sized shuffle."""
+    plan = _plan(qmap["partial_corr_controls"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+    plan = _plan(qmap["price_elasticity_ols"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+    plan = _plan(qmap["kendall_tau_price_qty"](spark, sf_dir))
+    assert "Cartesian" not in plan
+
+    for name in ("text_yule_k", "text_hapax_ratio"):
+        plan = _plan(qmap[name](spark, sf_dir))
+        assert "Join" not in plan, name
+
+    for name in ("lorenz_curve_points", "lift_curve_deciles"):
+        plan = _plan(qmap[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+    plan = _plan(qmap["bag_bootstrap_ci"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
