@@ -413,7 +413,13 @@ def evaluate_and_maybe_optimize(
     snapshot lineage, run the trigger decision, and if it fires,
     dispatch the configured executor — the `report()` ->
     `shouldOptimizeDataFiles` -> `executor.execute()` chain
-    (AwsTableManagementMetricsEvaluator.java:64-85)."""
+    (AwsTableManagementMetricsEvaluator.java:64-85).
+
+    `now` defaults to wall-clock UTC — correct for this PLUMBING path,
+    matching the reference's `System.currentTimeMillis()`; the
+    oracle-checked query path (`time_threshold_trigger` /
+    `should_optimize_decision`) always pins `now` explicitly so
+    results are reproducible."""
     from . import trigger
 
     properties = dict(properties or {})

@@ -150,6 +150,20 @@ def test_salted_join_identical_and_faster_without_aqe(spark, skewed, dim):
             spark.conf.set(k, v)
 
 
+def test_salted_left_join_preserves_unmatched_rows(spark, skewed, dim):
+    """Left-join semantics survive salting: keys missing from the dim
+    side NULL-extend exactly once (the exploded right carries every
+    salt, so present keys match exactly one (key, salt) row)."""
+    missing = dim.filter(F.col("k") < 0)  # empty dim -> nothing matches
+    out = salted_join(skewed.limit(1000), missing, "k", how="left")
+    rows = out.collect()
+    assert len(rows) == 1000
+    assert all(r["w"] is None for r in rows)
+    full = salted_join(skewed.limit(1000), dim, "k", how="left")
+    naive = skewed.limit(1000).join(dim, "k", "left")
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, naive.collect()))
+
+
 def test_aqe_skew_join_matches_salted_result(spark, skewed, dim):
     """Production default: AQE skew-join split, no hand salting.  The
     result must match the salted plan exactly — this is the invariant
