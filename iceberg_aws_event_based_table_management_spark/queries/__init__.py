@@ -524,6 +524,12 @@ def load() -> None:
         "maintenance_expire_snapshots",
     ]
 
+    # ROUND-11 STAGING HOOK (empty until round 10 registers operators):
+    # queries registered in round 10 go here so they cannot displace
+    # the pre-validated round-10 window mid-round; they lead the
+    # round-11 window once staged_new_r9 grades green.
+    staged_new_r10: list[str] = []
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
@@ -553,14 +559,21 @@ def load() -> None:
         registry.demote(*(window + rest))
         registry.rotate_graded(green | rows_only, pinned=set(window))
 
-    staged_out = set(staged_new_r8) | set(staged_new_r9) | set(reoracled_r9)
+    staged_out = (
+        set(staged_new_r8) | set(staged_new_r9) | set(staged_new_r10) | set(reoracled_r9)
+    )
     if not set(staged_new_r8) - green:
         # ROUND-10 REGIME: the r9 window has been driver-graded (every
         # round-8-staged newcomer green), so the round-9-staged
         # newcomers lead (plus any re-oracled name the r9 window
         # missed) and the THIRD fresh canary sample fills the window.
+        # Round-10-registered newcomers are staged out until round 11.
         pending_new = [n for n in staged_new_r9 + reoracled_r9 if n not in green]
-        _flip(pending_new + canaries_r10, "round-10", backlog)
+        _flip(
+            pending_new + canaries_r10,
+            "round-10",
+            [n for n in backlog if n not in set(staged_new_r10)],
+        )
     elif not set(tail_r8) - green:
         # ROUND-9 REGIME: the r8 window has been driver-graded (every
         # tail name green), so the round-8-staged newcomers plus the

@@ -36,13 +36,30 @@ import iceberg_aws_event_based_table_management_spark as engine
 from iceberg_aws_event_based_table_management_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
-QUERIES = [
-    "dedup_ngram_jaccard",
-    "dedup_simhash_hamming",
-    "dedup_prefix_filter_pairs",
-    "dedup_incremental_neardup",
-    "dedup_cluster_survivors",
-]
+FAMILIES = {
+    "dedup": [
+        "dedup_ngram_jaccard",
+        "dedup_simhash_hamming",
+        "dedup_prefix_filter_pairs",
+        "dedup_incremental_neardup",
+        "dedup_cluster_survivors",
+    ],
+    "text": [
+        "tfidf_top_terms",
+        "text_boilerplate_ngrams",
+        "text_winnow_fingerprints",
+        "pipeline_training_corpus",
+    ],
+    "embedding": [
+        "topk_similarity_bruteforce",
+        "ann_topk_ivf",
+        "ann_topk_lsh",
+        "dedup_embedding_neardup",
+        "dedup_semantic_semdedup",
+        "kmeans_assign_step",
+    ],
+}
+QUERIES = FAMILIES["dedup"]
 ID_STRIDE = 10_000_000
 
 
@@ -66,6 +83,55 @@ def build_scaled(spark, mult: int, workdir: str) -> str:
     for p in parts[1:]:
         u = u.unionByName(p)
     u.repartition(max(4, 4 * mult)).write.mode("overwrite").parquet(dest)
+
+    # Embeddings: copy k applies a per-copy RANDOM ROTATION (a true
+    # isometry): every within-copy inner product — and therefore every
+    # within-copy near-dup / kNN / centroid structure — is preserved
+    # EXACTLY, while cross-copy cosines collapse to ~1/sqrt(d) random
+    # directions, so the true near-dup output scales x k linearly just
+    # like the disjoint-vocabulary corpus.  (A sign-flip pattern is
+    # NOT enough here: the fixture's vectors concentrate ~60% of their
+    # mass in 2 of 64 dims, so flips that spare the spike dims leaked
+    # cross-copy pairs — measured before switching to rotations.)
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    rotations = {}
+    for k in range(1, mult):
+        rng = np.random.RandomState(1000 + k)
+        q, _ = np.linalg.qr(rng.randn(dim, dim))
+        rotations[k] = q.astype(np.float64)
+
+    def rotate(k: int):
+        rot = rotations[k]
+
+        def fn(batches):
+            for pdf in batches:
+                mat = np.vstack(pdf["embedding"].map(np.asarray).to_numpy())
+                pdf = pdf.copy()
+                pdf["embedding"] = list((mat @ rot.T).astype(np.float32))
+                pdf["vec_id"] = pdf["vec_id"] + k * ID_STRIDE
+                # labels offset per copy: label is the BLOCKING key of
+                # the near-dup operators, so shared labels would put
+                # rotated strangers in one block and leak cross-copy
+                # candidate pairs (tau=0.3 is low enough that ~0.8% of
+                # random same-block cosines pass — measured)
+                pdf["label"] = pdf["label"] + k * 1000
+                yield pdf
+
+        return fn
+
+    eparts = [emb]
+    for k in range(1, mult):
+        eparts.append(emb.mapInPandas(rotate(k), schema=emb.schema))
+    ue = eparts[0]
+    for p in eparts[1:]:
+        ue = ue.unionByName(p)
+    ue.repartition(max(4, 4 * mult)).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
     return out
 
 
@@ -73,10 +139,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,3,10")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument("--family", default=None, choices=sorted(FAMILIES))
+    ap.add_argument("--queries", default=None)
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
-    queries = args.queries.split(",")
+    if args.queries:
+        queries = args.queries.split(",")
+    elif args.family:
+        queries = FAMILIES[args.family]
+    else:
+        queries = QUERIES
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
