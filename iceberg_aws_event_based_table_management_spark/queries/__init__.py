@@ -81,6 +81,8 @@ def load() -> None:
         pipeline_ext25,
         pipeline_ext26,
         pipeline_ext27,
+        pipeline_ext28,
+        pipeline_ext29,
     )
 
     from .. import registry
@@ -524,11 +526,22 @@ def load() -> None:
         "maintenance_expire_snapshots",
     ]
 
-    # ROUND-11 STAGING HOOK (empty until round 10 registers operators):
-    # queries registered in round 10 go here so they cannot displace
-    # the pre-validated round-10 window mid-round; they lead the
-    # round-11 window once staged_new_r9 grades green.
-    staged_new_r10: list[str] = []
+    # ROUND-11 STAGING (late-round-9 + round-10 registrations): these
+    # cannot displace the pre-validated round-10 window (sized by
+    # staged_new_r9 + canaries_r10); they lead the round-11 window
+    # once staged_new_r9 grades green.
+    staged_new_r10: list[str] = [
+        "good_turing_unseen_mass",
+        "welch_ttest_lengths",
+        "mann_kendall_trend",
+        "page_hinkley_drift",
+        "vif_multicollinearity",
+        "hurst_exponent_rs",
+        "gumbel_weekly_maxima",
+        "cpk_shipping_capability",
+        "runs_test_daily",
+        "ljung_box_q",
+    ]
 
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
@@ -580,13 +593,14 @@ def load() -> None:
         # re-oracled C20 row plus the FRESH canary sample rotate in —
         # re-using the r8 list would re-grade the same 41 queries
         # forever and never sweep the other families for format drift.
-        # Round-9-staged newcomers are excluded from this flip's
-        # backlog so they cannot displace the pre-validated window.
+        # Round-9-staged AND later-staged newcomers are excluded from
+        # this flip's backlog so they cannot displace the
+        # pre-validated window.
         pending_new = [n for n in staged_new_r8 + reoracled_r9 if n not in green]
         _flip(
             pending_new + canaries_r9,
             "round-9",
-            [n for n in backlog if n not in set(staged_new_r9)],
+            [n for n in backlog if n not in set(staged_new_r9) | set(staged_new_r10)],
         )
     elif len(backlog) - len(set(backlog) & staged_out) <= len(tail_r8):
         # ROUND-8 REGIME: the 9-name never-graded tail leads, the 41

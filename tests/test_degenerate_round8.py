@@ -52,13 +52,17 @@ def _staged_names(list_name: str) -> list[str]:
     src = (
         Path(engine.__file__).parent / "queries" / "__init__.py"
     ).read_text()
-    m = re.search(rf"{list_name} = \[(.*?)\]", src, re.S)
+    m = re.search(rf"{list_name}(?:: list\[str\])? = \[(.*?)\]", src, re.S)
     return re.findall(r'"([a-z0-9_]+)"', m.group(1))
 
 
-# the round-8 batch AND the round-9 batch both run the sweep — every
-# new operator family earns its empty/singleton/all-tied coverage
-ROUND8 = _staged_names("staged_new_r8") + _staged_names("staged_new_r9")
+# every staged batch runs the sweep — each new operator family earns
+# its empty/singleton/all-tied coverage before the driver ever sees it
+ROUND8 = (
+    _staged_names("staged_new_r8")
+    + _staged_names("staged_new_r9")
+    + _staged_names("staged_new_r10")
+)
 
 
 @pytest.fixture(scope="module")

@@ -104,6 +104,11 @@ NESTED_LOOP_OK = {
     "isotonic_calibration_pav",  # E224: bin-grid interval lattice (B(B+1)/2 = 210 metadata rows)
     "lorenz_curve_points",  # E225: 1-row (n, tot) relation broadcast into the 20-point frame
     "entity_resolution_scorecard",  # E226: 1-row marginals broadcast over the 4-row pattern table
+    # round-9 second batch (E227-E236, staged for round 11)
+    "mann_kendall_trend",  # E229: calendar-bounded day-pair inequality join (the Theil-Sen d^2/2 device) + 1-row stat glue
+    "page_hinkley_drift",  # E230: 1-row (nd, S) totals + 1-row alarm-day broadcasts over the day series
+    "runs_test_daily",  # E235: 1-row nearest-rank median broadcast into the sign pass
+    "ljung_box_q",  # E236: 1-row (nd, S) totals broadcast into the lag window
 }
 
 # Global Sort without a following limit: legitimate only when the sort
