@@ -344,3 +344,86 @@ def test_neyman_allocation_sums_to_budget(spark, sf):
     rows = _q("stratified_neyman_allocation")(spark, sf).collect()
     assert sum(r["neyman_alloc"] for r in rows) == 1000
     assert all(r["neyman_alloc"] >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# E229 / E235 / E236: series diagnostics == python mirrors
+# ---------------------------------------------------------------------------
+
+
+def _daily_series():
+    con = _duck()
+    rows = con.execute(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    return [int(n) for _, n in rows]
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    out = _q("mann_kendall_trend")(spark, SF).collect()[0]
+    xs = _daily_series()
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    cc = 1 if s > 0 else -1 if s < 0 else 0
+    z = (s - cc) / math.sqrt(var)
+    assert out["n_days"] == n
+    assert out["s_stat"] == s
+    assert out["z_milli"] == math.floor(z * 1000)
+
+
+def test_runs_test_matches_python(spark):
+    out = _q("runs_test_daily")(spark, SF).collect()[0]
+    xs = _daily_series()
+    med = sorted(xs)[math.ceil(len(xs) / 2) - 1]
+    above = [x > med for x in xs]
+    runs = 1 + sum(1 for a, b in zip(above, above[1:]) if a != b)
+    n1, n2 = sum(above), len(xs) - sum(above)
+    e = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / (
+        (n1 + n2) ** 2 * (n1 + n2 - 1)
+    )
+    assert out["r_runs"] == runs
+    assert out["n_above"] == n1
+    assert out["z_milli"] == math.floor((runs - e) / math.sqrt(var) * 1000)
+
+
+def test_ljung_box_matches_python(spark):
+    out = _q("ljung_box_q")(spark, SF).collect()[0]
+    xs = _daily_series()
+    n = len(xs)
+    s = sum(xs)
+    dev = [n * x - s for x in xs]
+    den = sum(d * d for d in dev)
+    q = 0.0
+    for k in range(1, 8):
+        num = sum(dev[t] * dev[t - k] for t in range(k, n))
+        rho = num / den
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert out["n_days"] == n
+    assert out["q_milli"] == math.floor(q * 1000)
+
+
+def test_hurst_in_plausible_band_and_block_math(spark):
+    out = _q("hurst_exponent_rs")(spark, SF).collect()[0]
+    assert out["n_window_sizes"] == 3
+    # R/S Hurst of a ~30-day count series lands in (0, 1.2) — the loose
+    # sanity band; exactness is carried by the oracle hash
+    assert 0 < out["hurst_milli"] < 1200
+
+
+def test_good_turing_identities(spark):
+    rows = _q("good_turing_unseen_mass")(spark, SF).collect()
+    for r in rows:
+        assert 0 <= r["p0_unseen_ppm"] <= 1_000_000
+        assert r["n1"] <= r["vocab"] <= r["n_tokens"]
