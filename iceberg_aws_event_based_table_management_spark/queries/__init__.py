@@ -83,6 +83,7 @@ def load() -> None:
         pipeline_ext27,
         pipeline_ext28,
         pipeline_ext29,
+        pipeline_ext30,
     )
 
     from .. import registry
@@ -541,6 +542,10 @@ def load() -> None:
         "cpk_shipping_capability",
         "runs_test_daily",
         "ljung_box_q",
+        "kl_divergence_sources",
+        "theil_u2_forecast",
+        "herfindahl_category",
+        "moments_skew_kurtosis",
     ]
 
     green = registry.driver_green_names()

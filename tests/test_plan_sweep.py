@@ -109,6 +109,7 @@ NESTED_LOOP_OK = {
     "page_hinkley_drift",  # E230: 1-row (nd, S) totals + 1-row alarm-day broadcasts over the day series
     "runs_test_daily",  # E235: 1-row nearest-rank median broadcast into the sign pass
     "ljung_box_q",  # E236: 1-row (nd, S) totals broadcast into the lag window
+    "kl_divergence_sources",  # E237: 9-edge corpus-decile + 1-row corpus-total broadcasts (bin metadata, the E188 shape)
 }
 
 # Global Sort without a following limit: legitimate only when the sort
