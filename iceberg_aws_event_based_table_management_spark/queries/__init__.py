@@ -546,6 +546,74 @@ def load() -> None:
         "theil_u2_forecast",
         "herfindahl_category",
         "moments_skew_kurtosis",
+        # registered in round 10 proper
+        "stream_latedrop_outoforder",
+    ]
+    # ROUND-11 PLAN (authored in round 10, per the r9 verdict #8): once
+    # the r10 window grades (every staged_new_r9 name green), the
+    # round-10-staged newcomers lead and a FOURTH fresh canary sample
+    # fills the window.  This sample is the r8/r9 green slices' FIRST
+    # re-grade — the 9-name r8 tail, the 28 round-8-staged operators
+    # graded green in round 9, and the re-oracled C20 row — plus 12
+    # family-diverse greens (multimodal, CSV/ORC round-trips,
+    # correlated subquery, LSH ANN, pivot, stateful stream, rollup
+    # cascade, lang-id, pandas UDAF, datetime scalars) that no earlier
+    # canary window ever re-swept.  Disjoint from canaries_r8/r9/r10
+    # by construction.  Round 12 should rotate again — don't reuse.
+    canaries_r11 = [
+        # r9 greens (staged_new_r8): first re-grade
+        "theilsen_daily_slope",
+        "seasonal_decompose_daily",
+        "anova_f_source_lengths",
+        "basket_triples_apriori",
+        "rfm_customer_segments",
+        "conversion_lift_ztest",
+        "rolling_ols_slope",
+        "dedup_pair_span_align",
+        "ccf_event_lead_lag",
+        "cuped_adjusted_lift",
+        "trimmed_mean_lengths",
+        "zipf_term_exponent",
+        "weighted_median_doclen",
+        "composite_returned_item_revenue",
+        "markov_next_event_accuracy",
+        "funnel_time_to_convert",
+        "event_trigram_topk",
+        "drift_psi_lengths",
+        "forecast_mase_seasonal_naive",
+        "matched_pairs_by_decile",
+        "max_drawdown_daily_value",
+        "text_rake_keyphrases",
+        "transition_entropy",
+        "dedup_degree_profile",
+        "orders_aging_buckets",
+        "text_bigram_perplexity",
+        "dedup_minhash_estimate_audit",
+        "ab_minimum_detectable_effect",
+        "agg_approx_distinct",
+        # r8 greens (tail_r8): first re-grade
+        "setop_bag_halves",
+        "absence_view_no_purchase",
+        "max_concurrent_activity",
+        "rolling_median_spikes",
+        "business_days_lag",
+        "ks_two_sample_lengths",
+        "emd_lengths",
+        "acf_daily_lags",
+        "correlation_event_series",
+        # greens never swept by any canary window (family diversity)
+        "multimodal_binary_meta",
+        "multimodal_frame_sample",
+        "source_csv_roundtrip",
+        "source_orc_roundtrip",
+        "filter_correlated_exists",
+        "ann_topk_lsh",
+        "agg_pivot_status_matrix",
+        "stream_stateful_trigger",
+        "rollup_hypertable_cascade",
+        "text_lang_id",
+        "udaf_weighted_avg",
+        "scalar_datetime_suite",
     ]
 
     green = registry.driver_green_names()
@@ -580,7 +648,20 @@ def load() -> None:
     staged_out = (
         set(staged_new_r8) | set(staged_new_r9) | set(staged_new_r10) | set(reoracled_r9)
     )
-    if not set(staged_new_r8) - green:
+    if not set(staged_new_r9) - green:
+        # ROUND-11 REGIME: the r10 window has been driver-graded (every
+        # round-9-staged newcomer green), so the round-10-staged
+        # newcomers lead and the FOURTH fresh canary sample — the
+        # r8/r9 green slices' first re-grade — fills the window.
+        pending_new = [
+            n for n in staged_new_r10 if n not in green and n in registry.QUERIES
+        ]
+        _flip(
+            pending_new + canaries_r11,
+            "round-11",
+            list(backlog),
+        )
+    elif not set(staged_new_r8) - green:
         # ROUND-10 REGIME: the r9 window has been driver-graded (every
         # round-8-staged newcomer green), so the round-9-staged
         # newcomers lead (plus any re-oracled name the r9 window

@@ -40,7 +40,7 @@ TAIL_R8 = [
 
 def _hand_authored(list_name: str) -> list[str]:
     src = QUERIES_INIT.read_text()
-    m = re.search(rf"{list_name} = \[(.*?)\]", src, re.S)
+    m = re.search(rf"{list_name}(?:: list\[str\])? = \[(.*?)\]", src, re.S)
     assert m, f"{list_name} not found in queries/__init__.py"
     return re.findall(r'"([a-z0-9_]+)"', m.group(1))
 
@@ -110,7 +110,13 @@ def _expected_window(green: set[str]) -> list[str]:
     expectation is guaranteed to go stale the moment it succeeds."""
     staged_r8 = _hand_authored("staged_new_r8")
     staged_r9 = _hand_authored("staged_new_r9")
+    staged_r10 = _hand_authored("staged_new_r10")
     reoracled = _hand_authored("reoracled_r9")
+    if not set(staged_r9) - green:
+        lead = [
+            n for n in staged_r10 if n not in green and n in registry.QUERIES
+        ]
+        return lead + _hand_authored("canaries_r11")
     if not set(staged_r8) - green:
         lead = [n for n in staged_r9 + reoracled if n not in green]
         return lead + _hand_authored("canaries_r10")
@@ -182,17 +188,24 @@ def test_r8_regime_with_r7_records(loaded, monkeypatch):
 
 def test_r9_flip_after_tail_greens(loaded, monkeypatch):
     """Real records plus a synthetic r8 record greening the 9 tail
-    names — exactly what round 9's load() will see once CORRECTNESS_r08
-    lands: the regime must rotate to the FRESH canaries_r9 window
+    names — exactly what round 9's load() saw once CORRECTNESS_r08
+    landed: the regime must rotate to the FRESH canaries_r9 window
     (r7 verdict #5), pinned against rotation, not re-grade the r8
-    canaries forever."""
+    canaries forever.
+
+    The record set is PINNED to the r7 view (max_round=7): this test
+    reconstructs a historical flip, so reading the live records
+    directory would let every later driver round (r9's real record
+    greens the r8-staged names and advances the regime past the one
+    under test) redden it — the exact time bomb the r8 and r9
+    verdicts both flagged."""
     import iceberg_aws_event_based_table_management_spark.queries as q
 
     synthetic_r8 = {
         n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
         for n in TAIL_R8
     }
-    records = _real_records() + [synthetic_r8]
+    records = _real_records(max_round=7) + [synthetic_r8]
     real_fn = registry.driver_green_names
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=records)
@@ -262,8 +275,12 @@ def test_canaries_r10_all_registered_and_fresh(loaded):
 def test_r10_flip_after_staged_r8_greens(loaded, monkeypatch):
     """Real records plus a synthetic r9 record greening the round-8
     staged newcomers and the re-oracled row — what round 10's load()
-    will see once CORRECTNESS_r09 lands: the regime must rotate to the
-    round-9-staged newcomers + canaries_r10."""
+    sees once CORRECTNESS_r09 lands: the regime must rotate to the
+    round-9-staged newcomers + canaries_r10.
+
+    Records pinned to the r8 view (max_round=8) so the driver landing
+    CORRECTNESS_r10 (which greens the r9-staged names and advances the
+    live regime to round 11) cannot redden this reconstruction."""
     import iceberg_aws_event_based_table_management_spark.queries as q
 
     staged_r8 = _hand_authored("staged_new_r8")
@@ -271,7 +288,7 @@ def test_r10_flip_after_staged_r8_greens(loaded, monkeypatch):
         n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
         for n in staged_r8 + _hand_authored("reoracled_r9")
     }
-    records = _real_records() + [synthetic_r9]
+    records = _real_records(max_round=8) + [synthetic_r9]
     real_fn = registry.driver_green_names
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=records)
@@ -293,6 +310,76 @@ def test_r10_flip_after_staged_r8_greens(loaded, monkeypatch):
         monkeypatch.setattr(q, "_LOADED", True)
 
 
+def test_canaries_r11_all_registered_and_fresh(loaded):
+    """The round-11 canary sample (authored in round 10, r9 verdict #8)
+    must be registered, duplicate-free, 50 long, and — this round's
+    whole point — the FIRST re-grade of the r8/r9 green slices: it must
+    contain every tail_r8 and staged_new_r8 name, and be disjoint from
+    the three earlier canary lists."""
+    canaries_r11 = _hand_authored("canaries_r11")
+    assert len(canaries_r11) == 50
+    assert len(set(canaries_r11)) == 50
+    for n in canaries_r11:
+        assert n in registry.QUERIES, f"unregistered r11 canary {n}"
+    missing = (set(TAIL_R8) | set(_hand_authored("staged_new_r8"))) - set(
+        canaries_r11
+    )
+    assert not missing, f"r8/r9 green slices not re-swept: {sorted(missing)}"
+    stale = set(canaries_r11) & (
+        set(_hand_authored("canaries_r8"))
+        | set(_hand_authored("canaries_r9"))
+        | set(_hand_authored("canaries_r10"))
+    )
+    assert not stale, f"r11 canaries reuse earlier canary names: {sorted(stale)}"
+
+
+def test_flip_expectation_survives_future_records(loaded, monkeypatch):
+    """META-TEST (r9 verdict #1): the condition the driver creates
+    every round — a NEW all-green CORRECTNESS record appended to the
+    real set — must ADVANCE the derived window expectation, never
+    redden it.  Simulates three future driver rounds: at each step the
+    live-derivation logic (the same green-set arithmetic load() uses)
+    must agree with load()'s actual window, then the window's first 50
+    are graded green and the next step re-checks.  Any frozen
+    expectation in the derivation chain fails here immediately instead
+    of one round later."""
+    import iceberg_aws_event_based_table_management_spark.queries as q
+
+    records = _real_records()
+    real_fn = registry.driver_green_names
+    for step in range(3):
+        frozen = [dict(r) for r in records]
+        monkeypatch.setattr(
+            registry,
+            "driver_green_names",
+            lambda recs=None, r=frozen: real_fn(records=r),
+        )
+        green = real_fn(records=frozen)
+        expected = _expected_window(green)
+        snapshot = dict(registry.QUERIES)
+        monkeypatch.setattr(q, "_LOADED", False)
+        try:
+            q.load()
+            names = list(registry.QUERIES)
+            assert (
+                names[: min(50, len(expected))] == expected[:50]
+            ), f"window diverged from derivation at simulated round {10 + step}"
+        finally:
+            registry.QUERIES.clear()
+            registry.QUERIES.update(snapshot)
+            monkeypatch.setattr(q, "_LOADED", True)
+        synthetic = {
+            n: {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+                "err": None,
+            }
+            for n in expected[:50]
+        }
+        records = records + [synthetic]
+
+
 def test_r8_flip_warns_on_unexpected_backlog_name(loaded, monkeypatch):
     """A never-green query missing from the hand-authored tail must be
     appended to the window (not silently evicted) with a warning
@@ -304,10 +391,16 @@ def test_r8_flip_warns_on_unexpected_backlog_name(loaded, monkeypatch):
     # names, so the backlog is exactly 9 and the flip fires with a
     # composition that diverges from the literal tail_r8.
     straggler = "scalar_math_suite"
-    # staged_new_r8 must stay ungreen too, else the round-10 regime
-    # (every r8-staged name green) fires instead of the r8 flip under
-    # test.
-    ungreen = {straggler, *TAIL_R8[:8], *_hand_authored("staged_new_r8")}
+    # staged_new_r8 / staged_new_r9 must stay ungreen too, else the
+    # round-10 regime (every r8-staged name green) or the round-11
+    # regime (every r9-staged name green) fires instead of the r8 flip
+    # under test.
+    ungreen = {
+        straggler,
+        *TAIL_R8[:8],
+        *_hand_authored("staged_new_r8"),
+        *_hand_authored("staged_new_r9"),
+    }
     synthetic = {
         n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
         for n in registry.QUERIES
