@@ -76,10 +76,27 @@ def salted_join(
     operator is for non-AQE engines, for skew AQE's size heuristics
     miss (many medium-hot keys just under the split threshold), and as
     the measurable yardstick tests/test_skew_e2e.py holds AQE against.
+
+    Only left-preserving joins are supported: the salt scheme is
+    correct for inner/left/left_semi/left_anti/cross because every
+    (key, salt) pair exists on the exploded right.  right/full would
+    null-extend each UNMATCHED right row once per salt copy —
+    salt_buckets phantom rows — so they are rejected.
     """
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salt_buckets).alias(
-        "_salt"
-    )
+    allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi",
+               "left_semi", "semi", "leftanti", "left_anti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — an unmatched right "
+            f"row would be replicated salt_buckets times; use one of "
+            f"{sorted(allowed)}"
+        )
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative in the
+    # JVM, and a negative salt matches no exploded right copy (the row
+    # would silently drop on inner / null-extend on left).
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).alias("_salt")
     salted_left = left.withColumn("_salt", salt)
     exploded_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -135,21 +135,16 @@ def minhash_jaccard_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference tie: the delegated spark-sql surface's similarity QA
     (EmrOnEc2OptimizeDataExecutor.java:88-94 delegation boundary)."""
+    from ..operators import dedup as D
+
     docs = io.table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
-    grams = (
-        ws.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("w") - 3, F.lit(-1))),
-                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
-                )
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    # Distinct 3-gram shingles via the shared slice-zip helper: docs
+    # shorter than 3 words yield NO shingles, matching the oracle's
+    # generate_series(1, len(w) - 2) (empty for len < 3).  The inline
+    # sequence(0, size-3) form this replaces crashed on short docs —
+    # Spark's sequence(0, -1) is the DESCENDING [0, -1], not empty
+    # (round-9 ADVICE, high).
+    grams = D.shingles(docs, 3)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (

@@ -143,21 +143,14 @@ def dedup_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (config, band_no, band_val) equi-joins — work tracks collision
     counts, never all-pairs; the truth join runs only on the
     candidate-sized set at scale (here corpus-wide as the audit)."""
+    from ..operators import dedup as D
+
     docs = io.table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
-    grams = (
-        ws.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("w") - 3, F.lit(-1))),
-                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, 3)),
-                )
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    # Shared slice-zip shingle helper — short docs (<3 words) yield no
+    # shingles, matching the oracle; replaces the sequence(0, size-3)
+    # inline form that crashed on short docs because Spark's
+    # sequence(0, -1) is the descending [0, -1] (round-9 ADVICE, high).
+    grams = D.shingles(docs, 3)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     truth = (

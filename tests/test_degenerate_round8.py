@@ -41,8 +41,14 @@ KEY_COLS = {
     "embeddings": "vec_id",
 }
 
-SHAPES = ["empty", "single", "tied"]
+SHAPES = ["empty", "single", "tied", "shortdoc"]
 TIED_N = 12
+# The shortdoc shape exists because the round-9 ADVICE found a crash
+# the other three shapes cannot catch: shingle extraction over a
+# document with FEWER THAN 3 WORDS (Spark's sequence(0, -1) yields the
+# descending [0, -1], not the empty array).  Texts cover the empty
+# string, 1 word, 2 words, and a normal row-0 doc.
+SHORT_TEXTS = ["", "one", "two words", None]  # None = keep row 0's text
 
 
 def _staged_names(list_name: str) -> list[str]:
@@ -85,6 +91,34 @@ def degenerate_dirs(tmp_path_factory):
         keys = pa.array(range(TIED_N), type=tied.schema.field(ki).type)
         tied = tied.set_column(ki, tied.schema.field(ki), keys)
         pq.write_table(tied, f"{dirs['tied']}/{t}.parquet")
+        # shortdoc: documents get 0/1/2-word texts (the shingle edge
+        # case); every other table is the 1-row slice.
+        if t == "documents":
+            short = pa.concat_tables([one] * len(SHORT_TEXTS))
+            ki = short.schema.get_field_index(key)
+            keys = pa.array(
+                range(len(SHORT_TEXTS)), type=short.schema.field(ki).type
+            )
+            short = short.set_column(ki, short.schema.field(ki), keys)
+            ti = short.schema.get_field_index("text")
+            row0_text = one.column("text")[0].as_py()
+            texts = pa.array(
+                [x if x is not None else row0_text for x in SHORT_TEXTS],
+                type=pa.string(),
+            )
+            short = short.set_column(ti, short.schema.field(ti), texts)
+            ci = short.schema.get_field_index("n_chars")
+            nchars = pa.array(
+                [
+                    len(x) if x is not None else len(row0_text)
+                    for x in SHORT_TEXTS
+                ],
+                type=short.schema.field(ci).type,
+            )
+            short = short.set_column(ci, short.schema.field(ci), nchars)
+            pq.write_table(short, f"{dirs['shortdoc']}/{t}.parquet")
+        else:
+            pq.write_table(tbl.slice(0, 1), f"{dirs['shortdoc']}/{t}.parquet")
     return dirs
 
 

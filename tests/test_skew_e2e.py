@@ -164,6 +164,45 @@ def test_salted_left_join_preserves_unmatched_rows(spark, skewed, dim):
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_salted_join_rejects_right_preserving_how(spark, skewed, dim):
+    """how='right'/'full' would replicate each unmatched right row once
+    per salt copy (r9 ADVICE, low) — must raise, not silently corrupt."""
+    import pytest
+
+    for how in ("right", "full", "fullouter", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(skewed, dim, "k", how=how)
+
+
+def test_salted_join_salt_always_in_bucket_range(spark):
+    """The left salt must be pmod (non-negative) even when xxhash64 is
+    negative — abs(Long.MIN_VALUE) stays negative in the JVM, and with
+    a non-power-of-two bucket count abs+% yields a negative salt that
+    matches no exploded right row (r9 ADVICE, low).  Checked against a
+    non-power-of-two bucket count over rows with negative hashes."""
+    df = spark.range(0, 2000).withColumn("k", F.col("id") % 7)
+    buckets = 13
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets)
+    ).alias("_salt")
+    stats = df.select(salt).agg(
+        F.min("_salt").alias("lo"), F.max("_salt").alias("hi")
+    ).first()
+    assert 0 <= stats["lo"] <= stats["hi"] < buckets
+    # negative raw hashes genuinely occur in this sample
+    n_neg = df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")).filter(
+        "h < 0"
+    ).count()
+    assert n_neg > 0
+    # join-level invariant: salted inner join equals the naive join on
+    # a non-power-of-two bucket count
+    dim = spark.range(0, 7).withColumnRenamed("id", "k").withColumn("w", F.col("k") * 10)
+    left = df.select("k", F.col("id").alias("v"))
+    out = sorted(map(tuple, salted_join(left, dim, "k", salt_buckets=buckets).collect()))
+    naive = sorted(map(tuple, left.join(dim, "k").collect()))
+    assert out == naive
+
+
 def test_aqe_skew_join_matches_salted_result(spark, skewed, dim):
     """Production default: AQE skew-join split, no hand salting.  The
     result must match the salted plan exactly — this is the invariant
