@@ -420,6 +420,11 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     byrare = Window.partitionBy("doc_id").orderBy("df", "shingle")
     docw = Window.partitionBy("doc_id")
+    # localCheckpoint: the self-join below reads the prefix table
+    # TWICE; without materialization each alias re-runs the whole
+    # shingle-extract + df-join + double-window pipeline (measured in
+    # the r10 x30 profile — the ranking chain appeared twice in the
+    # executed plan).
     pref = (
         ranked.select(
             "doc_id",
@@ -429,15 +434,31 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
         .select("doc_id", "shingle", "n")
+        .localCheckpoint(eager=False)
     )
     # Length filter (lossless for J >= 0.5): n_common <= min(a,b) and
     # J >= 1/2 force 2*min(a,b) >= max(a,b), so size-incompatible
     # pairs can be dropped BEFORE the distinct — the PPJoin length
     # bound [t*|A|, |A|/t] promised by SCALE.md's E116 row.
+    #
+    # The prefix table is CORPUS-SIZED and its post-window size
+    # estimate is unreliable IN BOTH DIRECTIONS — at x30 Catalyst
+    # chose BuildRight BROADCAST of the whole 4M-row prefix table from
+    # a bogus-small estimate (the r9 verdict's x30 cliff: driver-side
+    # hash-relation build + GC, 5s -> 25s for 3x data).  So the build
+    # strategy is pinned by the same FOOTER gate as the verification
+    # join: small corpus -> explicit broadcast (prefix <= half the
+    # shingle rows, comfortably under the same payload cap); big
+    # corpus -> shuffle equi-join on shingle, the PPJoin-correct 100 TB
+    # plan (work tracks prefix postings; shuffle_hash keeps the hash
+    # build per-partition and skips the sort a merge join would pay).
+    small_corpus = _pf_estimated_shingles(sf_dir) <= _PF_BCAST_MAX_SHINGLES
+    pb = pref.alias("pb")
+    pb = F.broadcast(pb) if small_corpus else pb.hint("shuffle_hash")
     cands = (
         pref.alias("pa")
         .join(
-            pref.alias("pb"),
+            pb,
             (F.col("pa.shingle") == F.col("pb.shingle"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (F.col("pa.n") <= 2 * F.col("pb.n"))
@@ -469,8 +490,17 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(F.xxhash64("shingle"))).alias("sset"),
         F.count("*").alias("n"),
     )
-    if _pf_estimated_shingles(sf_dir) <= _PF_BCAST_MAX_SHINGLES:
+    if small_corpus:
         arrs = F.broadcast(arrs)
+    else:
+        # The footer gate said the set table is too big to broadcast —
+        # but Catalyst's own estimate of a collect_list aggregate
+        # output is unreliable (measured: it still chose BuildRight
+        # broadcast at x30, overriding the gate's intent).  Pin the
+        # scale-safe plan: shuffle hash join on doc_id, per-partition
+        # hash build, no driver-side relation, no sort of the array
+        # payload.
+        arrs = arrs.hint("shuffle_hash")
     inter = (
         cands.join(
             arrs.select(

@@ -239,6 +239,70 @@ def stream_watermark_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_latedrop_outoforder",
+    tier="C",
+    oracle="""
+    WITH chunked AS (
+      SELECT ts, ntile(8) OVER (ORDER BY ts, event_id) AS chunk
+      FROM events
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_events
+    FROM chunked
+    WHERE chunk <> 2
+    GROUP BY 1
+    """,
+)
+def stream_latedrop_outoforder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43 (real streaming, OUT-OF-ORDER replay, SQL oracle): the
+    watermark's late-DROP semantics on the graded surface.  The replay
+    schedule holds time-chunk 2 back until after three far-future
+    sentinel batches have advanced the watermark ~10 days past every
+    real event (replay.replay_dir_late_chunk), so when the late chunk
+    finally arrives EVERY one of its rows is behind the watermark and
+    is dropped before aggregation.  The drop set is therefore exactly
+    'the rows of ntile chunk 2' — derivable in ANSI SQL from the same
+    pinned schedule, which is what makes the hash oracle possible for
+    genuinely out-of-order streaming (r9 verdict #5; until this query,
+    the graded C43 row relied on in-order replay and the real drop
+    behavior was only test-asserted).
+
+    The 3-sentinel gap makes the oracle robust to Spark's late-filter
+    lag (the filter watermark trails the newest data by 1-2
+    micro-batches — pinned in tests/test_streaming.py): under lag 1,
+    2, or 3 and either comparison strictness, the filter watermark at
+    the late batch is sentinel_ts - 10 min, >9 days above any real
+    window end.  Append mode + sentinel flush emits every real window;
+    the sentinel's own window never closes and never reaches the sink
+    (belt-and-braces filtered by window_start <= max real ts).
+
+    Reference tie: late/out-of-order commit events are the evaluator's
+    real operating regime (AwsTableManagementMetricsEvaluator.java:
+    64-85 is push-driven with no ordering guarantee)."""
+    max_ts = io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    with tempfile.TemporaryDirectory() as tmp:
+        path = replay.replay_dir_late_chunk(spark, sf_dir, tmp)
+        agg = (
+            replay.read_stream(spark, path, 1)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n_events",
+            )
+        )
+        out = replay.run_to_memory(
+            agg, f"wm_ooo_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        if max_ts is not None:
+            out = out.filter(F.col("window_start") <= F.lit(max_ts))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "stream_stateful_trigger",
     tier="C",
     oracle=f"WITH {_DECISION_CTE} SELECT * FROM decision",

@@ -105,6 +105,71 @@ def append_watermark_sentinel(
         os.utime(os.path.join(cdir, fname), (base + n_chunks + 1, base + n_chunks + 1))
 
 
+def replay_dir_late_chunk(
+    spark: SparkSession,
+    sf_dir: str,
+    workdir: str,
+    n_chunks: int = 8,
+    late_chunk: int = 2,
+    n_sentinels: int = 3,
+) -> str:
+    """Out-of-order replay schedule with a DERIVABLE drop set (r9
+    verdict #5): time-ordered chunks replay in order EXCEPT
+    `late_chunk`, which is held back until after `n_sentinels`
+    far-future sentinel batches have advanced the watermark 10 days
+    past every real event.
+
+    The schedule makes the drop set independent of Spark's exact
+    late-filter semantics: the filter watermark lags the newest batch
+    by one-or-two micro-batches (tests/test_streaming.py::
+    test_stream_watermark_drops_late_chunk pins the observed lag-2
+    behavior), so the sentinel is replayed THREE batches before the
+    late chunk — under lag 1, 2, or 3, and under either <= or <
+    comparison, the filter watermark at the late batch is
+    sentinel_ts - delay, which exceeds every real window end by >9
+    days.  The ENTIRE late chunk is therefore dropped, and the graded
+    oracle is exactly 'tumbling counts excluding the ntile chunk' —
+    pure ANSI SQL over the same (ts, event_id) ntile both engines
+    compute identically.
+
+    Empty fixture: no chunks and no sentinel (no max ts) — the stream
+    source sees zero files and the query emits nothing, which is what
+    the oracle returns too."""
+    path = replay_dir(spark, sf_dir, workdir, n_chunks)
+    base = 1_600_000_000
+    # sentinels occupy replay slots n_chunks+1 .. n_chunks+n_sentinels
+    max_ts = io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    if max_ts is not None:
+        sentinel = spark.createDataFrame(
+            [
+                (
+                    -1,
+                    max_ts + datetime.timedelta(days=10),
+                    SENTINEL_USER_ID,
+                    "sentinel",
+                    0.0,
+                    "{}",
+                )
+            ],
+            EVENT_SCHEMA,
+        )
+        for s in range(1, n_sentinels + 1):
+            cdir = os.path.join(path, f"chunk={n_chunks + s}")
+            sentinel.coalesce(1).write.mode("overwrite").parquet(cdir)
+            for fname in os.listdir(cdir):
+                os.utime(
+                    os.path.join(cdir, fname),
+                    (base + n_chunks + s, base + n_chunks + s),
+                )
+    # the late chunk replays LAST: strictly after every sentinel batch
+    late_dir = os.path.join(path, f"chunk={late_chunk}")
+    if os.path.isdir(late_dir):
+        t = base + n_chunks + n_sentinels + 1
+        for fname in os.listdir(late_dir):
+            os.utime(os.path.join(late_dir, fname), (t, t))
+    return path
+
+
 REPLAY_SHUFFLE_PARTITIONS = 8
 
 

@@ -27,6 +27,7 @@ SKIP = {
     "stream_events_ingest",
     "stream_session_real",  # r9: append-mode watermark run -> parquet scratch sink (no driver collect)
     "stream_watermark_latedrop",
+    "stream_latedrop_outoforder",  # r10: out-of-order replay, memory sink of bounded windows
     "stream_stateful_trigger",
     "stream_should_optimize",
     "stream_merge_upsert",

@@ -356,12 +356,27 @@ def test_prefix_filter_broadcast_is_size_conditional(spark, sf_dir, qmap, monkey
         (r.doc_id_a, r.doc_id_b): (r.n_common, r.jaccard) for r in q(spark, sf_dir).collect()
     }
     analyzed = q(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 2, "small corpus: both set joins hinted"
+    assert analyzed.count("strategy=broadcast") == 3, (
+        "small corpus: both set joins + the prefix self-join broadcast-hinted"
+    )
 
     monkeypatch.setattr(pipeline_ext6, "_PF_BCAST_MAX_SHINGLES", 0)
     big = q(spark, sf_dir)
     analyzed = big._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed, "oversized set table still force-broadcast"
+    assert "strategy=broadcast" not in analyzed, (
+        "oversized set table still force-broadcast"
+    )
+    # ...and the gate going off must PIN the shuffle plan — for the
+    # verification joins AND the prefix self-join — rather than leave
+    # Catalyst free to re-broadcast from its own post-window /
+    # collect_list estimates, which are unreliable in both directions
+    # (measured at x30: Catalyst broadcast the whole corpus-sized
+    # prefix table from a bogus-small estimate, the r9 verdict's
+    # cliff; the shuffle_hash pin restored the sublinear curve,
+    # bench_runs/scale_probe_r10_ppjoin_x30_fixed.json).
+    assert analyzed.count("strategy=shuffle_hash") >= 3, (
+        "oversized corpus joins not pinned to shuffle"
+    )
     got = {(r.doc_id_a, r.doc_id_b): (r.n_common, r.jaccard) for r in big.collect()}
     assert got == baseline
 

