@@ -84,6 +84,7 @@ def load() -> None:
         pipeline_ext28,
         pipeline_ext29,
         pipeline_ext30,
+        pipeline_ext31,
     )
 
     from .. import registry
@@ -616,6 +617,18 @@ def load() -> None:
         "scalar_datetime_suite",
     ]
 
+    # ROUND-12 STAGING (round-10 registrations beyond the already-
+    # pre-validated r11 window): these lead the round-12 window once
+    # staged_new_r10 grades green; until then they are staged OUT of
+    # every flip's backlog so they cannot displace a pre-validated
+    # window mid-round.
+    staged_new_r11: list[str] = [
+        "link_adamic_adar_topk",
+        "retrieval_ndcg_audit",
+        "kneser_ney_bigram_probs",
+        "sprt_conversion_monitor",
+    ]
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
@@ -646,7 +659,11 @@ def load() -> None:
         registry.rotate_graded(green | rows_only, pinned=set(window))
 
     staged_out = (
-        set(staged_new_r8) | set(staged_new_r9) | set(staged_new_r10) | set(reoracled_r9)
+        set(staged_new_r8)
+        | set(staged_new_r9)
+        | set(staged_new_r10)
+        | set(staged_new_r11)
+        | set(reoracled_r9)
     )
     if not set(staged_new_r9) - green:
         # ROUND-11 REGIME: the r10 window has been driver-graded (every
@@ -659,7 +676,7 @@ def load() -> None:
         _flip(
             pending_new + canaries_r11,
             "round-11",
-            list(backlog),
+            [n for n in backlog if n not in set(staged_new_r11)],
         )
     elif not set(staged_new_r8) - green:
         # ROUND-10 REGIME: the r9 window has been driver-graded (every
@@ -671,7 +688,11 @@ def load() -> None:
         _flip(
             pending_new + canaries_r10,
             "round-10",
-            [n for n in backlog if n not in set(staged_new_r10)],
+            [
+                n
+                for n in backlog
+                if n not in set(staged_new_r10) | set(staged_new_r11)
+            ],
         )
     elif not set(tail_r8) - green:
         # ROUND-9 REGIME: the r8 window has been driver-graded (every
@@ -686,7 +707,12 @@ def load() -> None:
         _flip(
             pending_new + canaries_r9,
             "round-9",
-            [n for n in backlog if n not in set(staged_new_r9) | set(staged_new_r10)],
+            [
+                n
+                for n in backlog
+                if n
+                not in set(staged_new_r9) | set(staged_new_r10) | set(staged_new_r11)
+            ],
         )
     elif len(backlog) - len(set(backlog) & staged_out) <= len(tail_r8):
         # ROUND-8 REGIME: the 9-name never-graded tail leads, the 41

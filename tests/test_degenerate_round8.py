@@ -68,6 +68,7 @@ ROUND8 = (
     _staged_names("staged_new_r8")
     + _staged_names("staged_new_r9")
     + _staged_names("staged_new_r10")
+    + _staged_names("staged_new_r11")
 )
 
 

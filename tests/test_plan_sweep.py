@@ -50,6 +50,7 @@ NESTED_LOOP_OK = {
     "topk_similarity_bruteforce",  # 1-row query-vector relation
     "similarity_knn_join",  # bounded query side, broadcast by contract
     "tfidf_top_terms",  # 1-row corpus-size relation (broadcast)
+    "kneser_ney_bigram_probs",  # E244: 1-row N1+(..) total relation (broadcast)
     "corpus_mixture_weights",  # 1-row corpus-totals relation (broadcast)
     "corpus_mixture_apply",  # same 1-row corpus-totals relation (broadcast)
     "filter_scalar_subquery",  # scalar subquery joins a 1-row aggregate
