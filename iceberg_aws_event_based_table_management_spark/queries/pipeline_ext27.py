@@ -150,7 +150,11 @@ def dedup_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles, matching the oracle; replaces the sequence(0, size-3)
     # inline form that crashed on short docs because Spark's
     # sequence(0, -1) is the descending [0, -1] (round-9 ADVICE, high).
-    grams = D.shingles(docs, 3)
+    # localCheckpoint (the ext23/E197 pattern): sigs feeds a 30-frame
+    # band union AND the truth join — without materialization every
+    # consumer re-runs the shingle pipeline, and the concurrent
+    # recomputes OOM the BARE 1g driver-mimic session at sf0.01.
+    grams = D.shingles(docs, 3).localCheckpoint(eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     truth = (
