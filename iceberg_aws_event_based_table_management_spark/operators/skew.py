@@ -77,14 +77,16 @@ def salted_join(
     miss (many medium-hot keys just under the split threshold), and as
     the measurable yardstick tests/test_skew_e2e.py holds AQE against.
 
-    Only left-preserving joins are supported: the salt scheme is
-    correct for inner/left/left_semi/left_anti/cross because every
+    Only left-preserving keyed joins are supported: the salt scheme is
+    correct for inner/left/left_semi/left_anti because every
     (key, salt) pair exists on the exploded right.  right/full would
     null-extend each UNMATCHED right row once per salt copy —
-    salt_buckets phantom rows — so they are rejected.
+    salt_buckets phantom rows — and 'cross' is rejected because a true
+    cross join has no key: joining on [key, _salt] would silently
+    degenerate it to an inner join.
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi",
-               "left_semi", "semi", "leftanti", "left_anti", "anti", "cross"}
+               "left_semi", "semi", "leftanti", "left_anti", "anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} unsupported — an unmatched right "

@@ -110,11 +110,17 @@ def link_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(1_000_000.0 / F.log("d")).cast("long").alias("w_ppm"),
         )
     )
-    a = purchases.alias("a")
-    b = purchases.alias("b")
+    # Restrict posting lists to the hub-capped parts BEFORE pairing (r10
+    # ADVICE): joining w first bounds the self-join input, so the
+    # executed plan matches the documented Σ deg² ≤ cap·Σ deg work
+    # bound — without this, a deg-d hub materializes ~d²/2 candidate
+    # rows that the weight join then discards (session.py sets no CBO,
+    # so Spark keeps syntactic join order).
+    capped = purchases.join(w, purchases.p == F.col("wp")).select("c", "p", "w_ppm")
+    a = capped.alias("a")
+    b = capped.select("c", "p").alias("b")
     pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
-        .join(w, F.col("a.p") == F.col("wp"))
         .groupBy(F.col("a.c").alias("cust_a"), F.col("b.c").alias("cust_b"))
         .agg(
             F.count("*").cast("long").alias("n_common"),
@@ -229,7 +235,12 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("q_source"),
         F.col("lang").alias("q_lang"),
     )
-    grams = D.shingles(docs.select("doc_id", "text"), 3)
+    # localCheckpoint (the ext23/ext27 pattern): grams feeds BOTH the
+    # query side (qg) and the candidate side of the overlap join —
+    # without materialization the corpus-sized shingle explode runs
+    # twice per consumer (the exact recompute ext27's E219 fix killed
+    # after it OOMed a bare 1g driver-mimic session).
+    grams = D.shingles(docs.select("doc_id", "text"), 3).localCheckpoint(eager=False)
     qg = grams.join(
         q.select("query_id"), grams.doc_id == F.col("query_id")
     ).select("query_id", "shingle")

@@ -404,7 +404,17 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     E50's boilerplate signal and persists across batches like the LSH
     band index."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = D.shingles(docs, 3).localCheckpoint(eager=False)
+    # The footer gate picks the whole regime up front (r10 verdict #3):
+    # small corpus -> broadcast candidate/verify joins AND no
+    # localCheckpoints (re-deriving the shingle/prefix chains per
+    # consumer is cheaper than materializing them — measured 3.6s ->
+    # 2.3s at sf0.1); big corpus -> checkpoint both multi-consumer
+    # tables (the r10 x30 cliff fix: without materialization the
+    # ranking chain executes once per alias and the x30 probe paid 5x).
+    small_corpus = _pf_estimated_shingles(sf_dir) <= _PF_BCAST_MAX_SHINGLES
+    sh = D.shingles(docs, 3)
+    if not small_corpus:
+        sh = sh.localCheckpoint(eager=False)
     # Only non-singleton shingles need a df row: absent means df=1
     # (the vast majority), so the join side shrinks from ~|shingles|
     # to the repeated-shingle set and AQE broadcast-converts it —
@@ -420,11 +430,12 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     byrare = Window.partitionBy("doc_id").orderBy("df", "shingle")
     docw = Window.partitionBy("doc_id")
-    # localCheckpoint: the self-join below reads the prefix table
-    # TWICE; without materialization each alias re-runs the whole
-    # shingle-extract + df-join + double-window pipeline (measured in
-    # the r10 x30 profile — the ranking chain appeared twice in the
-    # executed plan).
+    # Big corpus: localCheckpoint — the self-join below reads the
+    # prefix table TWICE; without materialization each alias re-runs
+    # the whole shingle-extract + df-join + double-window pipeline
+    # (measured in the r10 x30 profile — the ranking chain appeared
+    # twice in the executed plan).  Small corpus: the broadcast build
+    # re-derives it, which is cheaper than the checkpoint write.
     pref = (
         ranked.select(
             "doc_id",
@@ -434,8 +445,9 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
         .select("doc_id", "shingle", "n")
-        .localCheckpoint(eager=False)
     )
+    if not small_corpus:
+        pref = pref.localCheckpoint(eager=False)
     # Length filter (lossless for J >= 0.5): n_common <= min(a,b) and
     # J >= 1/2 force 2*min(a,b) >= max(a,b), so size-incompatible
     # pairs can be dropped BEFORE the distinct — the PPJoin length
@@ -452,7 +464,6 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus -> shuffle equi-join on shingle, the PPJoin-correct 100 TB
     # plan (work tracks prefix postings; shuffle_hash keeps the hash
     # build per-partition and skips the sort a merge join would pay).
-    small_corpus = _pf_estimated_shingles(sf_dir) <= _PF_BCAST_MAX_SHINGLES
     pb = pref.alias("pb")
     pb = F.broadcast(pb) if small_corpus else pb.hint("shuffle_hash")
     cands = (

@@ -279,7 +279,7 @@ def stream_latedrop_outoforder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference tie: late/out-of-order commit events are the evaluator's
     real operating regime (AwsTableManagementMetricsEvaluator.java:
     64-85 is push-driven with no ordering guarantee)."""
-    max_ts = io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    max_ts = replay.events_max_ts(spark, sf_dir)
     with tempfile.TemporaryDirectory() as tmp:
         path = replay.replay_dir_late_chunk(spark, sf_dir, tmp)
         agg = (

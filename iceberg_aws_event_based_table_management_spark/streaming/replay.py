@@ -77,6 +77,23 @@ def replay_dir(spark: SparkSession, sf_dir: str, workdir: str, n_chunks: int = 8
 
 SENTINEL_USER_ID = -1
 
+# One max(ts) scan per fixture dir, not per streaming-query invocation
+# (r10 verdict #5: every sentinel-building streaming query paid a
+# second job over the events table to fetch one scalar).  Keyed on the
+# absolute path; fixture dirs are immutable within a session (testdata
+# is read-only, scratch fixtures are per-test temp dirs).
+_MAX_TS_CACHE: dict[str, "datetime.datetime | None"] = {}
+
+
+def events_max_ts(spark: SparkSession, sf_dir: str):
+    """Cached max(ts) of the fixture's events table (None when empty)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MAX_TS_CACHE:
+        _MAX_TS_CACHE[key] = (
+            io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        )
+    return _MAX_TS_CACHE[key]
+
 
 def append_watermark_sentinel(
     spark: SparkSession, sf_dir: str, replay_path: str, n_chunks: int = 8
@@ -93,7 +110,7 @@ def append_watermark_sentinel(
     never reaches the sink; consumers filter `user_id >= 0` anyway as
     belt and braces.  Unbounded production streams don't need this —
     new data plays the same role."""
-    max_ts = io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    max_ts = events_max_ts(spark, sf_dir)
     sentinel = spark.createDataFrame(
         [(-1, max_ts + datetime.timedelta(days=10), SENTINEL_USER_ID, "sentinel", 0.0, "{}")],
         EVENT_SCHEMA,
@@ -138,7 +155,7 @@ def replay_dir_late_chunk(
     path = replay_dir(spark, sf_dir, workdir, n_chunks)
     base = 1_600_000_000
     # sentinels occupy replay slots n_chunks+1 .. n_chunks+n_sentinels
-    max_ts = io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    max_ts = events_max_ts(spark, sf_dir)
     if max_ts is not None:
         sentinel = spark.createDataFrame(
             [

@@ -359,6 +359,13 @@ def test_prefix_filter_broadcast_is_size_conditional(spark, sf_dir, qmap, monkey
     assert analyzed.count("strategy=broadcast") == 3, (
         "small corpus: both set joins + the prefix self-join broadcast-hinted"
     )
+    # r10 verdict #3: the small branch must NOT pay the localCheckpoint
+    # materializations (the x30 cliff fix's +23% sf0.1 constant) — a
+    # checkpointed table shows up as a LogicalRDD leaf in the analyzed
+    # plan, so a broadcast-branch plan must have none.
+    assert "LogicalRDD" not in analyzed, (
+        "small corpus still localCheckpoints the shingle/prefix tables"
+    )
 
     monkeypatch.setattr(pipeline_ext6, "_PF_BCAST_MAX_SHINGLES", 0)
     big = q(spark, sf_dir)
@@ -376,6 +383,12 @@ def test_prefix_filter_broadcast_is_size_conditional(spark, sf_dir, qmap, monkey
     # bench_runs/scale_probe_r10_ppjoin_x30_fixed.json).
     assert analyzed.count("strategy=shuffle_hash") >= 3, (
         "oversized corpus joins not pinned to shuffle"
+    )
+    # ...and the big branch must KEEP the checkpoints (shingle + prefix
+    # tables are multi-consumer; without materialization the ranking
+    # chain executes once per alias — the r10 x30 5x cliff).
+    assert analyzed.count("LogicalRDD") >= 2, (
+        "oversized corpus lost the shingle/prefix localCheckpoints"
     )
     got = {(r.doc_id_a, r.doc_id_b): (r.n_common, r.jaccard) for r in big.collect()}
     assert got == baseline

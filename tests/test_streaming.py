@@ -4,6 +4,8 @@ compare against the batch DataFrame result."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -176,3 +178,19 @@ def test_applyinpandaswithstate_trigger_equals_batch_decision(spark, sf_dir, rep
     )
     batch_decision = trigger.decide_optimize(io.snapshots(spark, sf_dir), now=now)
     assert _sorted_rows(final) == _sorted_rows(batch_decision)
+
+
+def test_events_max_ts_cached_per_sf_dir(spark, sf_dir, monkeypatch):
+    """r10 verdict #5: the sentinel-building streaming queries paid a
+    second job over the events table per invocation just to fetch
+    max(ts).  The scalar is now cached per fixture dir — after the
+    first call, no further scan of the events table may run."""
+    replay._MAX_TS_CACHE.pop(os.path.abspath(sf_dir), None)
+    first = replay.events_max_ts(spark, sf_dir)
+    assert first is not None
+
+    def _no_scan(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("events_max_ts re-scanned a cached fixture dir")
+
+    monkeypatch.setattr(io, "table", _no_scan)
+    assert replay.events_max_ts(spark, sf_dir) == first

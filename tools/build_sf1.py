@@ -77,6 +77,16 @@ def main() -> int:
 
     for t, keys in OFFSET_COLS.items():
         src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        # Guard the replication invariant (r10 ADVICE): if any offset
+        # column ever exceeds the stride, replicated copies collide and
+        # silently corrupt join fan-outs in the scaled dataset.
+        maxes = src.agg(*[F.max(c).alias(c) for c in keys]).collect()[0].asDict()
+        for col, mx in maxes.items():
+            if mx is not None and mx >= STRIDE:
+                raise SystemExit(
+                    f"build_sf1: {t}.{col} max={mx} >= STRIDE={STRIDE}; "
+                    f"raise STRIDE or the x{args.mult} copies will collide"
+                )
         parts = []
         for k in range(args.mult):
             c = src
