@@ -629,6 +629,72 @@ def load() -> None:
         "sprt_conversion_monitor",
     ]
 
+    # ROUND-12 PLAN (authored in round 11, per the r10 verdict #8):
+    # once staged_new_r10 grades green, the four round-11-staged
+    # newcomers lead and a FIFTH fresh canary sample fills the window.
+    # The sample sweeps 46 greens NO prior canary window ever
+    # re-graded (disjoint from canaries_r8-r11 and every staged list
+    # by construction — asserted in tests/test_registry_window.py),
+    # family-diverse: control plane, maintenance/files, relational
+    # agg/window/setop, scalars, streaming, dedup/ANN/multimodal,
+    # text/corpus, graph.  Round 13 should rotate again — the
+    # never-re-swept pool still holds ~57 more greens.
+    canaries_r12 = [
+        # control plane + SQL rendering
+        "table_identifier_parse",
+        "sql_command_render",
+        "config_drop_keys",
+        "conf_argv_explode",
+        "time_threshold_trigger",
+        # maintenance / file-inventory planning
+        "compaction_rowcount_invariant",
+        "compaction_benefit_estimate",
+        "maintenance_orphan_files",
+        "sort_compaction_zorder_quantile",
+        "files_overlap_depth",
+        "file_bloom_pruning_estimate",
+        "sink_partitioned_pruning",
+        "snapshot_retention_policies",
+        # relational: aggregates / windows / setops / subqueries
+        "agg_array_collect",
+        "agg_grouping_sets",
+        "agg_percentiles_exact",
+        "filter_scalar_subquery",
+        "join_self_snapshot_gaps",
+        "setop_except_keys",
+        "setop_union_events",
+        "window_range_frame",
+        "window_rank_distributions",
+        "window_running_filesize_cumsum",
+        "window_ntile_value_quartiles",
+        "window_interpolate_linear",
+        "unpivot_stack_metrics",
+        "rank_movers_nations",
+        "ratio_to_parent_revenue",
+        # scalar suites
+        "scalar_array_suite",
+        "scalar_json_extract",
+        "scalar_map_suite",
+        # streaming
+        "stream_events_ingest",
+        "stream_should_optimize",
+        "stream_sliding_event_rate",
+        "stream_session_user_activity",
+        # dedup / ANN / multimodal
+        "dedup_cross_source_matrix",
+        "dedup_incremental_batch",
+        "ann_recall_audit",
+        "embedding_pq_codes",
+        "multimodal_join_docs_embeddings",
+        "multimodal_resize",
+        # text / corpus / sampling / graph
+        "text_contamination_eval_overlap",
+        "text_chunk_overlap",
+        "text_pii_redact",
+        "sample_stratified_by_lang",
+        "graph_khop_reach",
+    ]
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
@@ -665,7 +731,17 @@ def load() -> None:
         | set(staged_new_r11)
         | set(reoracled_r9)
     )
-    if not set(staged_new_r9) - green:
+    if not set(staged_new_r10) - green:
+        # ROUND-12 REGIME: the r11 window has been driver-graded (every
+        # round-10-staged newcomer green), so the four round-11-staged
+        # newcomers lead and the FIFTH fresh canary sample fills the
+        # window.  Every staged generation is consumed after this flip,
+        # so nothing is staged out of the backlog.
+        pending_new = [
+            n for n in staged_new_r11 if n not in green and n in registry.QUERIES
+        ]
+        _flip(pending_new + canaries_r12, "round-12", backlog)
+    elif not set(staged_new_r9) - green:
         # ROUND-11 REGIME: the r10 window has been driver-graded (every
         # round-9-staged newcomer green), so the round-10-staged
         # newcomers lead and the FOURTH fresh canary sample — the

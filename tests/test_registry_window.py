@@ -111,7 +111,13 @@ def _expected_window(green: set[str]) -> list[str]:
     staged_r8 = _hand_authored("staged_new_r8")
     staged_r9 = _hand_authored("staged_new_r9")
     staged_r10 = _hand_authored("staged_new_r10")
+    staged_r11 = _hand_authored("staged_new_r11")
     reoracled = _hand_authored("reoracled_r9")
+    if not set(staged_r10) - green:
+        lead = [
+            n for n in staged_r11 if n not in green and n in registry.QUERIES
+        ]
+        return lead + _hand_authored("canaries_r12")
     if not set(staged_r9) - green:
         lead = [
             n for n in staged_r10 if n not in green and n in registry.QUERIES
@@ -333,6 +339,75 @@ def test_canaries_r11_all_registered_and_fresh(loaded):
     assert not stale, f"r11 canaries reuse earlier canary names: {sorted(stale)}"
 
 
+def test_canaries_r12_all_registered_and_fresh(loaded):
+    """The round-12 canary sample (authored in round 11, r10 verdict
+    #8) must be registered, duplicate-free, sized so staged_new_r11 +
+    canaries fill the 50-slot window exactly, driver-green already
+    (canaries re-grade proven rows, never burn a slot on a gamble),
+    and FRESH: disjoint from all four earlier canary lists and from
+    every staged generation — it sweeps greens no prior window ever
+    re-graded."""
+    canaries_r12 = _hand_authored("canaries_r12")
+    staged_r11 = _hand_authored("staged_new_r11")
+    assert len(staged_r11) + len(canaries_r12) == 50
+    assert len(set(canaries_r12)) == len(canaries_r12)
+    green = registry.driver_green_names()
+    for n in canaries_r12:
+        assert n in registry.QUERIES, f"unregistered r12 canary {n}"
+        assert n in green, f"r12 canary {n} has no driver-green record"
+    prior = (
+        set(_hand_authored("canaries_r8"))
+        | set(_hand_authored("canaries_r9"))
+        | set(_hand_authored("canaries_r10"))
+        | set(_hand_authored("canaries_r11"))
+        | set(TAIL_R8)
+        | set(_hand_authored("staged_new_r8"))
+        | set(_hand_authored("staged_new_r9"))
+        | set(_hand_authored("staged_new_r10"))
+        | set(staged_r11)
+        | set(_hand_authored("reoracled_r9"))
+    )
+    stale = set(canaries_r12) & prior
+    assert not stale, f"r12 canaries reuse already-swept names: {sorted(stale)}"
+
+
+def test_r12_flip_after_staged_r10_greens(loaded, monkeypatch):
+    """Pin the ROUND-12 regime against a synthetic record set where
+    every staged_new_r10 name has graded green (the state the driver
+    creates by landing CORRECTNESS_r11): staged_new_r11 leads,
+    canaries_r12 fill.  Records pinned to the r10 view (max_round=10)
+    plus one synthetic round so the driver landing CORRECTNESS_r11
+    for real cannot redden this reconstruction."""
+    import iceberg_aws_event_based_table_management_spark.queries as q
+
+    synthetic_r11 = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+        for n in _hand_authored("staged_new_r10")
+    }
+    records = _real_records(max_round=10) + [synthetic_r11]
+    real_fn = registry.driver_green_names
+    monkeypatch.setattr(
+        registry, "driver_green_names", lambda recs=None: real_fn(records=records)
+    )
+    snapshot = dict(registry.QUERIES)
+    monkeypatch.setattr(q, "_LOADED", False)
+    try:
+        q.load()
+        names = list(registry.QUERIES)
+        staged_r11 = [
+            n for n in _hand_authored("staged_new_r11") if n in registry.QUERIES
+        ]
+        canaries = _hand_authored("canaries_r12")
+        assert names[: len(staged_r11)] == staged_r11
+        assert (
+            names[len(staged_r11) : len(staged_r11) + len(canaries)] == canaries
+        )
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(snapshot)
+        monkeypatch.setattr(q, "_LOADED", True)
+
+
 def test_flip_expectation_survives_future_records(loaded, monkeypatch):
     """META-TEST (r9 verdict #1): the condition the driver creates
     every round — a NEW all-green CORRECTNESS record appended to the
@@ -391,15 +466,16 @@ def test_r8_flip_warns_on_unexpected_backlog_name(loaded, monkeypatch):
     # names, so the backlog is exactly 9 and the flip fires with a
     # composition that diverges from the literal tail_r8.
     straggler = "scalar_math_suite"
-    # staged_new_r8 / staged_new_r9 must stay ungreen too, else the
-    # round-10 regime (every r8-staged name green) or the round-11
-    # regime (every r9-staged name green) fires instead of the r8 flip
-    # under test.
+    # staged_new_r8 / r9 / r10 must stay ungreen too, else a later
+    # regime (round-10: every r8-staged green; round-11: every
+    # r9-staged green; round-12: every r10-staged green) fires instead
+    # of the r8 flip under test.
     ungreen = {
         straggler,
         *TAIL_R8[:8],
         *_hand_authored("staged_new_r8"),
         *_hand_authored("staged_new_r9"),
+        *_hand_authored("staged_new_r10"),
     }
     synthetic = {
         n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
