@@ -399,8 +399,12 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the df join replaces the hot-shingle k² blowout with
     its inverse — COMMON shingles never enter prefixes (rarest-first
     order), so candidate counts track true-duplicate counts; prefix
-    ranking is one per-doc window; verification joins candidates back
-    to full shingle sets, work ∝ Σ_cand |A|.  The df table doubles as
+    ranking is one per-doc window; the POSITIONAL filter (PPJoin's
+    second filter, r11) prunes candidates whose best-case overlap
+    1 + min(n_a − ra, n_b − rb) at the first shared token cannot
+    reach (n_a + n_b)/3 — exact by the consistent-order argument at
+    the filter site — before verification joins candidates back to
+    full shingle sets (work ∝ Σ_cand |A|).  The df table doubles as
     E50's boilerplate signal and persists across batches like the LSH
     band index."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -444,7 +448,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(docw).alias("n"),
         )
         .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
-        .select("doc_id", "shingle", "n")
+        .select("doc_id", "shingle", "n", "rn")
     )
     if not small_corpus:
         pref = pref.localCheckpoint(eager=False)
@@ -476,9 +480,39 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pb.n") <= 2 * F.col("pa.n")),
         )
         .select(
-            F.col("pa.doc_id").alias("doc_id_a"), F.col("pb.doc_id").alias("doc_id_b")
+            F.col("pa.doc_id").alias("doc_id_a"),
+            F.col("pb.doc_id").alias("doc_id_b"),
+            F.col("pa.rn").alias("ra"),
+            F.col("pb.rn").alias("rb"),
+            F.col("pa.n").alias("na"),
+            F.col("pb.n").alias("nb"),
         )
-        .distinct()
+        # PPJoin POSITIONAL filter (the second P; exact, r10 verdict
+        # #7's fan-in goal without the lossy df knob): per pair, take
+        # the matched prefix token MINIMAL in the global (df, shingle)
+        # order — the ordering is the same total order in every doc,
+        # so any common token preceding it in A would precede it in B
+        # too, land inside BOTH prefixes, and contradict minimality;
+        # that token is therefore the pair's FIRST common token
+        # overall, every other common token sits strictly after it in
+        # both lists, and o <= 1 + min(n_a - ra, n_b - rb).  J >= 1/2
+        # needs 3o >= n_a + n_b, so pairs whose best-case overlap
+        # misses that bound are pruned BEFORE the verification join —
+        # provably zero recall loss, and the groupBy replaces the
+        # .distinct() it supersedes (same one pair-shuffle).  min of
+        # one struct works because the ra-minimal token is the
+        # rb-minimal token (consistent order).
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.min(F.struct("ra", "rb")).alias("m"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .filter(
+            3 * (1 + F.least(F.col("na") - F.col("m.ra"), F.col("nb") - F.col("m.rb")))
+            >= F.col("na") + F.col("nb")
+        )
+        .select("doc_id_a", "doc_id_b")
     )
     # Verification: join each candidate pair to the two docs' SHINGLE
     # SETS as sorted xxhash64 arrays (one row per doc, built in one
