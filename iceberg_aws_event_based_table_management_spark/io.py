@@ -37,6 +37,31 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    pure driver-side file metadata, no Spark job, so query construction
+    stays lazy (the _pf_estimated_shingles discipline).  None when the
+    footer is unreadable (remote path, not-yet-written table); callers
+    must fall back to a scale-safe default, never force a plan off an
+    unknown size."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(root, f)
+                for root, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    except Exception:
+        return None
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")

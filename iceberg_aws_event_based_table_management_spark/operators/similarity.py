@@ -63,6 +63,7 @@ def knn_join(
     candidates: DataFrame,
     k: int = 3,
     max_broadcast_rows: int = 100_000,
+    max_chunks: int = 16,
 ) -> DataFrame:
     """Batch kNN join: for every query vector, its exact top-k cosine
     neighbors among the candidates — the many-query generalization of
@@ -79,59 +80,87 @@ def knn_join(
     top-k is always contained in the union of local top-ks, ties
     included.
 
-    The broadcast contract is ENFORCED, not documentation: the query
-    side is counted first and a query table above `max_broadcast_rows`
-    raises instead of silently collecting gigabytes onto the driver.
-    For query sets too big to broadcast, block both sides with LSH
-    (ann_topk_lsh) first.
-    """
+    Query sides above `max_broadcast_rows` run as a block-nested GEMM:
+    the query table splits into ceil(n / cap) hash chunks on vec_id,
+    each chunk broadcasts within the cap and scores in its own pass
+    over the candidates (q_ids are disjoint across chunks, so one
+    final window ranks the union).  The cost — one candidate scan per
+    chunk — is the honest exact-kNN quadratic term made explicit and
+    memory-bounded; past `max_chunks` passes the call raises instead
+    of burying an accidental n² (that scale wants the LSH/IVF paths,
+    ann_topk_lsh / ivf_search)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
 
     n_queries = queries.count()
-    if n_queries > max_broadcast_rows:
+    n_chunks = max(1, -(-n_queries // max_broadcast_rows))
+    if n_chunks > max_chunks:
         raise ValueError(
-            f"knn_join query side has {n_queries} rows, above the "
-            f"broadcast cap of {max_broadcast_rows}; use the LSH-blocked "
-            "path (ann_topk_lsh) or raise max_broadcast_rows explicitly"
+            f"knn_join query side has {n_queries} rows = {n_chunks} "
+            f"broadcast chunks of {max_broadcast_rows}, above the "
+            f"{max_chunks}-pass cap; use the LSH-blocked path "
+            "(ann_topk_lsh) or raise max_broadcast_rows/max_chunks "
+            "explicitly"
         )
-    qpd = queries.select("vec_id", "embedding").toPandas()
-    q_ids = qpd["vec_id"].to_numpy()
-    qm = np.asarray([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0.0] = 1.0
-    bq = candidates.sparkSession.sparkContext.broadcast((q_ids, qm / qn[:, None]))
+    sc = candidates.sparkSession.sparkContext
+    q_sel = queries.select("vec_id", "embedding")
+    cand_sel = candidates.select("vec_id", "embedding")
 
-    def score(batches):
-        ids_q, qu = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cm = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
-            n_ids = pdf["vec_id"].to_numpy()
-            cn = np.linalg.norm(cm, axis=1)
-            cn[cn == 0.0] = 1.0
-            sims = np.round((cm / cn[:, None]) @ qu.T, 6)  # (n_cand, n_query)
-            kk = min(k, sims.shape[0])
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(ids_q)):
-                top = np.lexsort((n_ids, -sims[:, j]))[:kk]
-                out_q.append(np.full(kk, ids_q[j]))
-                out_n.append(n_ids[top])
-                out_s.append(sims[top, j])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(out_q),
-                    "n_id": np.concatenate(out_n),
-                    "cosine_sim": np.concatenate(out_s),
-                }
-            )
+    def make_score(bq):
+        def score(batches):
+            ids_q, qu = bq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cm = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+                )
+                n_ids = pdf["vec_id"].to_numpy()
+                cn = np.linalg.norm(cm, axis=1)
+                cn[cn == 0.0] = 1.0
+                sims = np.round((cm / cn[:, None]) @ qu.T, 6)  # (n_cand, n_query)
+                kk = min(k, sims.shape[0])
+                out_q, out_n, out_s = [], [], []
+                for j in range(len(ids_q)):
+                    top = np.lexsort((n_ids, -sims[:, j]))[:kk]
+                    out_q.append(np.full(kk, ids_q[j]))
+                    out_n.append(n_ids[top])
+                    out_s.append(sims[top, j])
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "n_id": np.concatenate(out_n),
+                        "cosine_sim": np.concatenate(out_s),
+                    }
+                )
 
-    scored = candidates.select("vec_id", "embedding").mapInPandas(
-        score, schema="q_id long, n_id long, cosine_sim double"
-    )
+        return score
+
+    scored = None
+    for c in range(n_chunks):
+        chunk = (
+            q_sel
+            if n_chunks == 1
+            else q_sel.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == c)
+        )
+        qpd = chunk.toPandas()
+        if len(qpd) == 0:
+            continue
+        q_ids = qpd["vec_id"].to_numpy()
+        qm = np.asarray([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = 1.0
+        bq = sc.broadcast((q_ids, qm / qn[:, None]))
+        part = cand_sel.mapInPandas(
+            make_score(bq), schema="q_id long, n_id long, cosine_sim double"
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    if scored is None:
+        return candidates.sparkSession.createDataFrame(
+            [], "q_id long, n_id long, cosine_sim double, rank int"
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "n_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

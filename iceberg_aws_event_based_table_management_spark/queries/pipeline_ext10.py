@@ -70,16 +70,20 @@ def dedup_edit1_names(spark: SparkSession, sf_dir: str) -> DataFrame:
       "aab"→"ab" matches at two positions).
     The oracle is the unblocked n² Levenshtein scan.
 
-    Scale shape: ~(len+1) variant rows per name join on (position,
-    variant) — bucket sizes are alphabet-bounded (a variant matches ≤
-    |Σ| names per position), so pair work tracks true typo pairs,
-    never n², and the O(len²) DP never runs (measured 10.4s → ~2s at
-    sf0.1).  At 100 TB the variant table persists like the LSH band
-    index (E54/E63 pattern)."""
+    Scale shape (r11 rework — the sf10 audit caught the row-level
+    variant join at exponent 1.6 / 152 s once replication gave every
+    name ~100 copies): the variant join runs over DISTINCT names —
+    ~(len+1) variant rows per distinct name on (position, variant),
+    buckets alphabet-bounded — and custkey pairs are re-expanded by a
+    name-keyed hash join afterwards, so join work is immune to name
+    multiplicity and the only multiplicity-quadratic term is the
+    OUTPUT itself (ka×kb custkey pairs per name pair — semantically
+    irreducible).  At 100 TB the distinct-name variant table persists
+    like the LSH band index (E54/E63 pattern)."""
     names = io.table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    nd = names.select("c_name").distinct()
     pos = F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("pos")
-    dels = names.select("c_custkey", "c_name", pos).select(
-        "c_custkey",
+    dels = nd.select("c_name", pos).select(
         "c_name",
         "pos",
         F.concat(
@@ -87,48 +91,48 @@ def dedup_edit1_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, pos + 1)"),
         ).alias("variant"),
     )
-    pair_cols = [
-        F.col("a.c_custkey").alias("custkey_a"),
-        F.col("b.c_custkey").alias("custkey_b"),
-        F.col("a.c_name").alias("name_a"),
-        F.col("b.c_name").alias("name_b"),
-    ]
     a, b = dels.alias("a"), dels.alias("b")
-    # substitution pairs: same deletion position, same variant,
+    # substitution name pairs: same deletion position, same variant,
     # different names — provably hamming-1, emitted exactly once
-    subs = a.join(
+    # (the pair differs at exactly one position, so exactly one
+    # (pos, variant) witnesses it)
+    subs_n = a.join(
         b,
         (F.col("a.pos") == F.col("b.pos"))
         & (F.col("a.variant") == F.col("b.variant"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
-        & (F.col("a.c_name") != F.col("b.c_name")),
-    ).select(*pair_cols)
-    # insertion/deletion pairs: one name equals the other minus one
-    # character — provably Levenshtein-1; dedup multi-position matches
-    w, d = names.alias("a"), dels.alias("b")
-    indel = (
-        w.join(
-            d,
-            (F.col("a.c_name") == F.col("b.variant"))
-            & (F.col("a.c_custkey") != F.col("b.c_custkey")),
-        )
+        & (F.col("a.c_name") < F.col("b.c_name")),
+    ).select(F.col("a.c_name").alias("nx"), F.col("b.c_name").alias("ny"))
+    # insertion/deletion name pairs: one name IS the other minus one
+    # character (lengths differ, so disjoint from subs_n); dedup
+    # multi-position witnesses ("aab" -> "ab" matches twice)
+    w, d = nd.alias("a"), dels.alias("b")
+    indel_n = (
+        w.join(d, F.col("a.c_name") == F.col("b.variant"))
         .select(
-            F.least("a.c_custkey", "b.c_custkey").alias("custkey_a"),
-            F.greatest("a.c_custkey", "b.c_custkey").alias("custkey_b"),
-            F.when(
-                F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("a.c_name")
-            )
-            .otherwise(F.col("b.c_name"))
-            .alias("name_a"),
-            F.when(
-                F.col("a.c_custkey") < F.col("b.c_custkey"), F.col("b.c_name")
-            )
-            .otherwise(F.col("a.c_name"))
-            .alias("name_b"),
+            F.least("a.c_name", "b.c_name").alias("nx"),
+            F.greatest("a.c_name", "b.c_name").alias("ny"),
         )
         .distinct()
     )
-    return subs.unionAll(indel)
+    name_pairs = subs_n.unionByName(indel_n)
+    # expansion: every custkey of nx crossed with every custkey of ny,
+    # ordered per pair — output-proportional hash joins on the name
+    ka = names.select(F.col("c_name").alias("nx"), F.col("c_custkey").alias("ka"))
+    kb = names.select(F.col("c_name").alias("ny"), F.col("c_custkey").alias("kb"))
+    return (
+        name_pairs.join(ka, "nx")
+        .join(kb, "ny")
+        .select(
+            F.least("ka", "kb").alias("custkey_a"),
+            F.greatest("ka", "kb").alias("custkey_b"),
+            F.when(F.col("ka") < F.col("kb"), F.col("nx"))
+            .otherwise(F.col("ny"))
+            .alias("name_a"),
+            F.when(F.col("ka") < F.col("kb"), F.col("ny"))
+            .otherwise(F.col("nx"))
+            .alias("name_b"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -804,40 +804,66 @@ def linkage_blocked_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.  (Blocks with one member emit nothing — a block is a
     candidate set, not a partition of the output.)
 
-    Scale shape: the self-join is equi on the blocking key — a hash
-    join, never cartesian; pair count is sum of block-size^2, the
-    quantity the blocking key is CHOSEN to bound (the E76 skew
-    diagnosis is the audit that validates a proposed key — p_size
-    alone measured 6x slower at sf0.1, which is the diagnosis working
-    as intended).  At corpus scale candidates pre-filter on q-gram
-    overlap (the D2 LSH machinery) before the edit distance runs; the
-    argmin is a per-block window over pair metadata."""
+    Scale shape (r11 rework — the sf10 audit caught the row-level
+    self-join at exponent 2.0 / 193 s when replication gave every name
+    ~100 copies): the quadratic term now runs over DISTINCT names per
+    block, the textbook dedup-before-fuzzy-match move, so work is
+    Σ distinct_names², immune to name multiplicity — exact because the
+    row-level argmin is reconstructible from name-level aggregates:
+    · duplicate-name candidates: dist = 0 with key pair
+      (min1, min2) of that name's keys — (min1, min2) lexicographically
+      dominates every other same-name pair;
+    · distinct-name candidates {X,Y}: dist(X,Y) with key pair
+      (min(mX,mY), max(mX,mY)) — part_a must be the global min key
+      (nothing smaller exists) and part_b the other name's min;
+    the per-block window then ranks exactly the pairs the oracle's
+    n²-scan would rank first from each family.  At corpus scale
+    candidates pre-filter on q-gram overlap (the D2 LSH machinery)
+    before the edit distance runs."""
     p = io.table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_size"
     )
-    a = p.select(
+    wname = Window.partitionBy("p_brand", "p_size", "p_name").orderBy("p_partkey")
+    byname = (
+        p.withColumn("rk", F.row_number().over(wname))
+        .groupBy("p_brand", "p_size", "p_name")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("p_partkey"))).alias("min1"),
+            F.min(F.when(F.col("rk") == 2, F.col("p_partkey"))).alias("min2"),
+            F.count("*").alias("m"),
+        )
+    )
+    dup0 = byname.filter(F.col("m") >= 2).select(
         "p_brand",
         "p_size",
-        F.col("p_partkey").alias("part_a"),
+        F.col("min1").alias("part_a"),
+        F.col("min2").alias("part_b"),
+        F.lit(0).alias("dist"),
+    )
+    a = byname.select(
+        "p_brand",
+        "p_size",
         F.col("p_name").alias("name_a"),
+        F.col("min1").alias("ka"),
     )
-    b = p.select(
+    b = byname.select(
         "p_brand",
         "p_size",
-        F.col("p_partkey").alias("part_b"),
         F.col("p_name").alias("name_b"),
+        F.col("min1").alias("kb"),
     )
-    pairs = (
+    cross = (
         a.join(b, ["p_brand", "p_size"])
-        .filter(F.col("part_a") < F.col("part_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
         .select(
             "p_brand",
             "p_size",
-            "part_a",
-            "part_b",
+            F.least("ka", "kb").alias("part_a"),
+            F.greatest("ka", "kb").alias("part_b"),
             F.levenshtein("name_a", "name_b").alias("dist"),
         )
     )
+    pairs = dup0.unionByName(cross)
     w = Window.partitionBy("p_brand", "p_size").orderBy("dist", "part_a", "part_b")
     return (
         pairs.withColumn("rn", F.row_number().over(w))

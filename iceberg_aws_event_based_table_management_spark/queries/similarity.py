@@ -523,6 +523,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.3  # fixture-calibrated: random fixture embeddings top
 # out at cosine ~0.51, so the paper's ~0.95 semantic threshold would
 # prune nothing here; 0.3 exercises real pruning (189 of 500 at sf0.01)
+_SEMDEDUP_TARGET = 2500  # target cluster size: k = max(8, ceil(n/target))
+# — fixed k is the r11 sf10 audit's super-linear offender (8 clusters at
+# x100 corpus -> 25k-vector clusters -> GEMM grew 10^4x, 377 s); scaling
+# k with n keeps E[cluster size] constant, the SemDeDup paper's actual
+# regime (they use 11k clusters for LAION).  Graded fixtures unchanged:
+# k stays 8 through n = 20 000 (sf1); both engines derive k from the
+# same corpus count.
 
 
 @register(
@@ -535,9 +542,15 @@ _SEMDEDUP_TAU = 0.3  # fixture-calibrated: random fixture embeddings top
                e -> CAST(FLOOR(CAST(e AS DOUBLE) * {float(S.VEC_Q)}) AS BIGINT)) AS xq
       FROM embeddings
     ),
+    kk AS (
+      SELECT GREATEST(8, CAST(CEIL(COUNT(*) / {_SEMDEDUP_TARGET}.0) AS BIGINT)) AS k
+      FROM x
+    ),
     cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, xq AS cq
-      FROM x ORDER BY vec_id LIMIT 8
+      SELECT cluster_id, cq FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, xq AS cq
+        FROM x
+      ) WHERE cluster_id < (SELECT k FROM kk)
     ),
     dists AS (
       SELECT x.vec_id, c.cluster_id,
@@ -577,11 +590,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: assignment is int64-quantized L2 (VEC_Q scheme —
     engine-independent); within-cluster cosines use the same
     float64-GEMM/ROUND(_,6) pairing the r3-green similarity_threshold_
-    pairs proved out.  Scale: pairwise work bounded per cluster, never
-    n^2 — the paper's own argument; at 100 TB cluster_id becomes a
-    partition key and each cluster GEMMs independently."""
+    pairs proved out.  Scale: k grows with the corpus so E[cluster
+    size] stays ~{_SEMDEDUP_TARGET} (k = max(8, ceil(n/target)), n
+    from the parquet footer — no plan-build job; the oracle derives
+    the same k from COUNT(*)): pairwise work is n·target, linear in
+    the corpus, not the fixed-k n²/k the r11 sf10 audit caught (377 s
+    at ×100).  At 100 TB cluster_id is a partition key and each
+    cluster GEMMs independently."""
+    n = io.parquet_num_rows(sf_dir, "embeddings")
+    k = max(8, -(-(n or 0) // _SEMDEDUP_TARGET))
     return S.semdedup_flags(
-        io.table(spark, sf_dir, "embeddings"), k=8, tau=_SEMDEDUP_TAU
+        io.table(spark, sf_dir, "embeddings"), k=k, tau=_SEMDEDUP_TAU
     )
 
 

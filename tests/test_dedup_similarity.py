@@ -326,11 +326,30 @@ def test_shingles_no_shuffle_on_wide_input(spark, docs):
 
 
 def test_knn_join_enforces_broadcast_cap(spark, sf_dir):
-    """The query-side broadcast bound is a real assert, not a docstring:
-    an oversized query table raises with a pointer to the LSH path."""
+    """The query-side bound is a real assert, not a docstring: a query
+    table needing more than max_chunks broadcast passes raises with a
+    pointer to the LSH path (r11: within the pass cap it CHUNKS — the
+    block-nested exact path — instead of refusing)."""
     emb = io.table(spark, sf_dir, "embeddings")
-    with pytest.raises(ValueError, match="broadcast cap"):
-        S.knn_join(emb, emb, k=2, max_broadcast_rows=10)
+    with pytest.raises(ValueError, match="pass cap"):
+        S.knn_join(emb, emb, k=2, max_broadcast_rows=10, max_chunks=2)
+
+
+def test_knn_join_chunked_equals_single_broadcast(spark, sf_dir):
+    """Block-nested chunking is result-invariant: splitting the query
+    side into >1 broadcast chunks must return exactly the single-pass
+    rows (q_ids are disjoint across chunks; the final window ranks the
+    union)."""
+    emb = io.table(spark, sf_dir, "embeddings").limit(60)
+    one = {
+        (r.q_id, r.n_id, r.rank)
+        for r in S.knn_join(emb, emb, k=3).collect()
+    }
+    chunked = {
+        (r.q_id, r.n_id, r.rank)
+        for r in S.knn_join(emb, emb, k=3, max_broadcast_rows=17).collect()
+    }
+    assert chunked == one
 
 
 def test_connected_components_chain_and_convergence_guard(spark):

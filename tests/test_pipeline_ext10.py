@@ -168,3 +168,53 @@ def test_fd_audit_verdicts(spark, sf_dir, qmap):
     for r in rows.values():
         assert r.holds == (r.n_violating == 0)
         assert 0 <= r.n_violating <= r.n_groups
+
+
+def test_edit1_duplicate_names_equal_bruteforce(spark, tmp_path):
+    """The r11 distinct-name rework under name multiplicity (the
+    graded fixtures' names are unique): with 'anna' twice and 'ann'
+    twice, output must equal the n² Levenshtein==1 scan — every
+    cross-multiplicity custkey pair exactly once, equal-name pairs
+    (dist 0) excluded."""
+    import itertools
+
+    rows = [
+        (1, "anna"),
+        (2, "anna"),
+        (3, "ann"),
+        (4, "ann"),
+        (5, "anXa"),
+        (6, "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    scratch = str(tmp_path / "edit1dup")
+    df.write.mode("overwrite").parquet(f"{scratch}/customer.parquet")
+    from iceberg_aws_event_based_table_management_spark.queries.pipeline_ext10 import (
+        dedup_edit1_names,
+    )
+
+    got = {
+        (r.custkey_a, r.custkey_b, r.name_a, r.name_b)
+        for r in dedup_edit1_names(spark, scratch).collect()
+    }
+
+    def lev(a, b):
+        d = [[max(i, j) if not i * j else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1,
+                    d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a)][len(b)]
+
+    expect = {
+        (ka, kb, na, nb)
+        for (ka, na), (kb, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) == 1
+    }
+    assert got == expect
+    # sanity: multiplicity expanded (anna x ann = 2x2 pairs) and the
+    # dist-0 anna/anna, ann/ann pairs are absent
+    assert sum(1 for t in expect if {t[2], t[3]} == {"anna", "ann"}) == 4

@@ -464,3 +464,69 @@ def test_join_cardinality_estimate_unbiased_shape(spark, sf_dir, qmap):
     true_rows = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert r.actual_rows == true_rows
     assert abs(r.estimated_rows - r.actual_rows) / r.actual_rows < 0.5
+
+
+def test_linkage_duplicate_names_equal_bruteforce(spark, tmp_path):
+    """The r11 distinct-name rework's dup0 branch: with duplicate names
+    in a block the winner must match the row-level n² formulation —
+    dist-0 via the (min1, min2) key pair, tiebreak (dist, part_a,
+    part_b) — on a fixture the graded sfs don't cover (their names are
+    unique)."""
+    import itertools
+
+    rows = [
+        # block (B, 1): 'alpha' duplicated 3x + a dist-1 neighbor;
+        # winner must be the two smallest alpha keys (7, 9) at dist 0
+        (9, "alpha", "B", 1),
+        (7, "alpha", "B", 1),
+        (30, "alpha", "B", 1),
+        (2, "alphb", "B", 1),
+        # block (B, 2): unique names only — cross branch must still win
+        (11, "gamma", "B", 2),
+        (12, "gamm", "B", 2),
+        (13, "zzzzz", "B", 2),
+        # block (C, 1): a single member emits nothing
+        (21, "solo", "C", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_size int"
+    )
+    scratch = str(tmp_path / "linkdup")
+    for t in ("part",):
+        df.write.mode("overwrite").parquet(f"{scratch}/{t}.parquet")
+    from iceberg_aws_event_based_table_management_spark.queries.pipeline_ext3 import (
+        linkage_blocked_nearest_name,
+    )
+
+    got = {
+        (r.p_brand, r.p_size): (r.part_a, r.part_b, r.dist)
+        for r in linkage_blocked_nearest_name(spark, scratch).collect()
+    }
+
+    def lev(a, b):
+        d = [[i + j if not i * j else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1,
+                    d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[len(a)][len(b)]
+
+    expect = {}
+    by_block = {}
+    for k, n, br, sz in rows:
+        by_block.setdefault((br, sz), []).append((k, n))
+    for blk, members in by_block.items():
+        cands = [
+            (lev(na, nb), ka, kb)
+            for (ka, na), (kb, nb) in itertools.combinations(
+                sorted(members), 2
+            )
+            if ka < kb
+        ]
+        if cands:
+            d, a, b = min(cands)
+            expect[blk] = (a, b, d)
+    assert got == expect

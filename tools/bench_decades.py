@@ -97,6 +97,10 @@ def main() -> int:
             f"sf{sf} TOTAL: {round(sum(timings.values()), 3)}",
             flush=True,
         )
+        # crash insurance: a partial record per completed sf leg (the
+        # first sf10 attempt OOMed with everything buffered in a pipe)
+        with open(args.out + ".partial", "w") as fh:
+            json.dump(per_sf, fh, indent=1)
 
     exponents: dict[str, dict[str, float]] = {}
     pairs = [(sfs[i], sfs[i + 1]) for i in range(len(sfs) - 1)]
