@@ -35,23 +35,89 @@ from pyspark.sql import functions as F
 from .. import config
 
 
-def plan_binpack_groups(files: DataFrame, cap_bytes: int) -> DataFrame:
+_BINPACK_BUCKET_BYTES = 2_000_000
+# Flat-window threshold: below this many inventory rows the single
+# per-table cumsum window is cheaper than the two-level's extra
+# shuffle + broadcast join (measured ~0.9 s overhead at sf0.1's 600k
+# rows vs a 2.3x win at sf10's 60M).  Callers pass the footer-counted
+# inventory size; None (unknown) takes the scale-safe two-level path.
+_BINPACK_FLAT_MAX_FILES = 2_000_000
+
+
+def plan_binpack_groups(
+    files: DataFrame, cap_bytes: int, n_files: int | None = None
+) -> DataFrame:
     """Assign each data file to a rewrite group of <= cap_bytes (B1/B3).
 
     Deterministic first-fit-over-sorted-order via running cumsum:
     files ordered (size desc, path), group = floor(exclusive_cumsum /
     cap).  Expressible identically in SQL (the oracle uses the same
-    formula), and purely window-based — no driver loop.
+    formula) — no driver loop.
+
+    The cumsum is TWO-LEVEL (r11: the sf10 audit caught the flat
+    per-table window at exponent 1.26 / 54 s — one partition per
+    table means a 7.5M-row sort+spill in a single task).  Files
+    bucket by fixed-width size ranges (floor(size / 2 MB)); bucket
+    ranges are disjoint, so descending bucket order IS the global
+    (size desc) order restricted to buckets, and
+
+        running(row) = Σ sizes of strictly-larger buckets (offset)
+                     + within-bucket running sum
+
+    reproduces the flat window's integer cumsum EXACTLY.  The inner
+    window gets tables × buckets partitions (parallel, bounded); the
+    offsets table is tables × buckets rows — broadcast; no stats pass
+    or driver action, the bucket boundaries are constants.
+
+    Small inventories (n_files <= {_BINPACK_FLAT_MAX_FILES}, footer-
+    counted by the caller) keep the flat window — the two-level's
+    extra shuffle costs more than it saves there; unknown sizes take
+    the two-level path (its failure mode is a small constant, the
+    flat window's is a single-task spill).
     """
-    w = (
-        Window.partitionBy("table_name")
+    if n_files is not None and n_files <= _BINPACK_FLAT_MAX_FILES:
+        w = (
+            Window.partitionBy("table_name")
+            .orderBy(F.desc("file_size_bytes"), "file_path")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        running = F.sum("file_size_bytes").over(w)
+        return files.withColumn(
+            "group_id",
+            F.floor((running - F.col("file_size_bytes")) / F.lit(cap_bytes)).cast(
+                "long"
+            ),
+        )
+    files = files.withColumn(
+        "_bkt", F.floor(F.col("file_size_bytes") / F.lit(_BINPACK_BUCKET_BYTES))
+    )
+    w_in = (
+        Window.partitionBy("table_name", "_bkt")
         .orderBy(F.desc("file_size_bytes"), "file_path")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum("file_size_bytes").over(w)
-    return files.withColumn(
-        "group_id",
-        F.floor((running - F.col("file_size_bytes")) / F.lit(cap_bytes)).cast("long"),
+    files = files.withColumn("_rsum_in", F.sum("file_size_bytes").over(w_in))
+    w_off = (
+        Window.partitionBy("table_name")
+        .orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        files.groupBy("table_name", "_bkt")
+        .agg(F.sum("file_size_bytes").alias("_btot"))
+        .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_off), F.lit(0)))
+        .select("table_name", "_bkt", "_boff")
+    )
+    running = F.col("_boff") + F.col("_rsum_in")
+    return (
+        files.join(F.broadcast(offsets), ["table_name", "_bkt"])
+        .withColumn(
+            "group_id",
+            F.floor((running - F.col("file_size_bytes")) / F.lit(cap_bytes)).cast(
+                "long"
+            ),
+        )
+        .drop("_bkt", "_rsum_in", "_boff")
     )
 
 

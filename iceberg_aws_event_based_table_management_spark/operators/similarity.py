@@ -120,21 +120,35 @@ def knn_join(
                 n_ids = pdf["vec_id"].to_numpy()
                 cn = np.linalg.norm(cm, axis=1)
                 cn[cn == 0.0] = 1.0
-                sims = np.round((cm / cn[:, None]) @ qu.T, 6)  # (n_cand, n_query)
-                kk = min(k, sims.shape[0])
-                out_q, out_n, out_s = [], [], []
-                for j in range(len(ids_q)):
-                    top = np.lexsort((n_ids, -sims[:, j]))[:kk]
-                    out_q.append(np.full(kk, ids_q[j]))
-                    out_n.append(n_ids[top])
-                    out_s.append(sims[top, j])
-                yield pd.DataFrame(
-                    {
-                        "q_id": np.concatenate(out_q),
-                        "n_id": np.concatenate(out_n),
-                        "cosine_sim": np.concatenate(out_s),
-                    }
-                )
+                cu = cm / cn[:, None]
+                n_b = cu.shape[0]
+                kk = min(k, n_b)
+                # Sub-block the query axis so the (batch × queries)
+                # sims matrix stays ~4M cells (~32 MB) per worker —
+                # at 200k broadcast queries an unblocked GEMM output
+                # was 8 GB × 32 workers (the r11 sf10 OOM).  Each
+                # query column's top-k is independent, so blocking is
+                # result-invariant; the column-wise lexsort keeps the
+                # exact (sim desc, id asc) total order the global
+                # re-rank uses (ties included), replacing the
+                # per-query Python loop that went quadratic in
+                # queries × batches.
+                qblock = max(256, (1 << 22) // max(n_b, 1))
+                for s in range(0, len(ids_q), qblock):
+                    sims = np.round(cu @ qu[s : s + qblock].T, 6)
+                    order = np.lexsort(
+                        (np.broadcast_to(n_ids[:, None], sims.shape), -sims),
+                        axis=0,
+                    )[:kk]
+                    yield pd.DataFrame(
+                        {
+                            "q_id": np.repeat(ids_q[s : s + qblock], kk),
+                            "n_id": n_ids[order].T.ravel(),
+                            "cosine_sim": np.take_along_axis(
+                                sims, order, axis=0
+                            ).T.ravel(),
+                        }
+                    )
 
         return score
 

@@ -42,7 +42,9 @@ def binpack_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     via per-table running cumsum (the window formulation of the
     rewrite's file-group sizing, AwsManageProperties.java:48-50).  Each
     group is an independent partial-progress commit."""
-    return plan_binpack_groups(io.files(spark, sf_dir), CAP).select(
+    return plan_binpack_groups(
+        io.files(spark, sf_dir), CAP, n_files=io.parquet_num_rows(sf_dir, "lineitem")
+    ).select(
         "table_name", "file_path", "file_size_bytes", "group_id"
     )
 
@@ -76,7 +78,9 @@ def compaction_rowcount_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     reducing file count (files_after = ceil(group_bytes/target) per
     group).  Mirrors what the reference trusts Iceberg to guarantee
     (SURVEY SS5.4)."""
-    planned = plan_binpack_groups(io.files(spark, sf_dir), CAP)
+    planned = plan_binpack_groups(
+        io.files(spark, sf_dir), CAP, n_files=io.parquet_num_rows(sf_dir, "lineitem")
+    )
     post = planned.groupBy("table_name", "group_id").agg(
         F.count("*").alias("files_in_group"),
         F.sum("file_size_bytes").alias("group_bytes"),

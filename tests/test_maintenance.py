@@ -318,3 +318,27 @@ def test_commit_reporter_concurrent_writers_fire_exactly_once(
     # (plus the initial table write) is in the lineage
     n_appends_seen = snaps.filter(F.col("operation") == "append").count()
     assert n_appends_seen == n_appends + 1
+
+
+def test_binpack_two_level_cumsum_equals_flat(spark, sf_dir):
+    """The r11 two-level prefix-sum (size-bucket partials + broadcast
+    offsets) must reproduce the flat per-table window's group ids
+    EXACTLY — bucket ranges are disjoint so descending-bucket order is
+    the global size-desc order, and the integer cumsum decomposes
+    losslessly."""
+    from iceberg_aws_event_based_table_management_spark import io
+    from iceberg_aws_event_based_table_management_spark.operators.maintenance import (
+        plan_binpack_groups,
+    )
+
+    inv = io.files(spark, sf_dir)
+    cap = 50_000_000
+    flat = {
+        r.file_path: r.group_id
+        for r in plan_binpack_groups(inv, cap, n_files=1).collect()
+    }
+    two = {
+        r.file_path: r.group_id
+        for r in plan_binpack_groups(inv, cap, n_files=None).collect()
+    }
+    assert flat == two and len(flat) > 0
