@@ -168,7 +168,17 @@ def files(spark: SparkSession, sf_dir: str, n_tables: int = config.FILES_TABLE_C
 def files_from(li: DataFrame, n_tables: int = config.FILES_TABLE_COUNT) -> DataFrame:
     """The `_files` projection over an arbitrary lineitem subset — used
     both for the full inventory and for 'live manifest' slices
-    (lifecycle orphan-file planning)."""
+    (lifecycle orphan-file planning).
+
+    file_path is UNIQUE per row (a real file inventory never has two
+    files at one path): the synthetic lineitem is NOT unique on
+    (l_orderkey, l_linenumber) — 45,832 distinct of 60,000 at sf0.01 —
+    so the path folds in l_partkey, l_suppkey, and floor(l_quantity),
+    which disambiguates every duplicate at all generated scale factors
+    (verified sf0.001/0.01/0.1/1).  Uniqueness also makes the binpack
+    ORDER BY (file_size_bytes DESC, file_path) tie-break total, so
+    group ids are deterministic.  Map-side only — no shuffle.
+    """
     return li.select(
         F.concat(F.lit("t"), (F.col("l_orderkey") % n_tables).cast("string")).alias("table_name"),
         F.concat(
@@ -176,15 +186,30 @@ def files_from(li: DataFrame, n_tables: int = config.FILES_TABLE_COUNT) -> DataF
             F.col("l_orderkey").cast("string"),
             F.lit("-"),
             F.col("l_linenumber").cast("string"),
+            F.lit("-"),
+            F.col("l_partkey").cast("string"),
+            F.lit("-"),
+            F.col("l_suppkey").cast("string"),
+            F.lit("-"),
+            F.floor(F.col("l_quantity")).cast("long").cast("string"),
         ).alias("file_path"),
         F.floor(F.col("l_extendedprice") * 1000).cast("long").alias("file_size_bytes"),
         F.floor(F.col("l_quantity")).cast("long").alias("record_count"),
     )
 
 
+# The file_path expression, shared by FILES_CTE and any oracle that
+# rebuilds a manifest slice from a lineitem subset — keep in lockstep
+# with files_from above.
+FILES_PATH_SQL = (
+    "'f' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+    " || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)"
+    " || '-' || CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR)"
+)
+
 FILES_CTE = f"""
   SELECT 't' || CAST(l_orderkey % {config.FILES_TABLE_COUNT} AS VARCHAR) AS table_name,
-         'f' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS file_path,
+         {FILES_PATH_SQL} AS file_path,
          CAST(FLOOR(l_extendedprice * 1000) AS BIGINT) AS file_size_bytes,
          CAST(FLOOR(l_quantity) AS BIGINT) AS record_count
   FROM lineitem

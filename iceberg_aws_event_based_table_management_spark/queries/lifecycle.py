@@ -87,8 +87,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH inv AS ({io.FILES_CTE}),
     manifest AS (
-      SELECT 'f' || CAST(l_orderkey AS VARCHAR) || '-' ||
-             CAST(l_linenumber AS VARCHAR) AS file_path
+      SELECT {io.FILES_PATH_SQL} AS file_path
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{MANIFEST_CUTOFF}'
     )

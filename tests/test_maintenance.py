@@ -333,12 +333,18 @@ def test_binpack_two_level_cumsum_equals_flat(spark, sf_dir):
 
     inv = io.files(spark, sf_dir)
     cap = 50_000_000
-    flat = {
-        r.file_path: r.group_id
-        for r in plan_binpack_groups(inv, cap, n_files=1).collect()
-    }
-    two = {
-        r.file_path: r.group_id
-        for r in plan_binpack_groups(inv, cap, n_files=None).collect()
-    }
+
+    def rows(plan):
+        # Compare as a sorted multiset of full rows, not a dict keyed on
+        # file_path: dict last-write-wins made the comparison depend on
+        # collect() partition order whenever paths collided (the r11
+        # flake; paths are unique now, but the multiset form is
+        # order-proof either way).
+        return sorted(
+            (r.table_name, r.file_path, r.file_size_bytes, r.group_id)
+            for r in plan.collect()
+        )
+
+    flat = rows(plan_binpack_groups(inv, cap, n_files=1))
+    two = rows(plan_binpack_groups(inv, cap, n_files=None))
     assert flat == two and len(flat) > 0
