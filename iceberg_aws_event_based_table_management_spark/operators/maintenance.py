@@ -69,7 +69,7 @@ def plan_binpack_groups(
     offsets table is tables × buckets rows — broadcast; no stats pass
     or driver action, the bucket boundaries are constants.
 
-    Small inventories (n_files <= {_BINPACK_FLAT_MAX_FILES}, footer-
+    Small inventories (n_files <= _BINPACK_FLAT_MAX_FILES = 2M, footer-
     counted by the caller) keep the flat window — the two-level's
     extra shuffle costs more than it saves there; unknown sizes take
     the two-level path (its failure mode is a small constant, the

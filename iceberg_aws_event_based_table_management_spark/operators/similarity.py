@@ -94,9 +94,21 @@ def knn_join(
 
     from pyspark.sql import Window
 
-    n_queries = queries.count()
+    sc = candidates.sparkSession.sparkContext
+    # persist() pins ONE evaluation of the query side across the
+    # count() + per-chunk toPandas() reads below: if `queries` is
+    # nondeterministic (limit/sample/derived from a shuffle without a
+    # stable sort), re-evaluation could change rows between reads and
+    # the xxhash64-mod chunking would silently drop or duplicate
+    # queries.  Bounded memory: the cap rejects query sides above
+    # max_chunks x max_broadcast_rows rows before anything large is
+    # cached.  Unpersisted before return — every chunk is already
+    # materialized driver-side into its broadcast by then.
+    q_sel = queries.select("vec_id", "embedding").persist()
+    n_queries = q_sel.count()
     n_chunks = max(1, -(-n_queries // max_broadcast_rows))
     if n_chunks > max_chunks:
+        q_sel.unpersist()
         raise ValueError(
             f"knn_join query side has {n_queries} rows = {n_chunks} "
             f"broadcast chunks of {max_broadcast_rows}, above the "
@@ -104,8 +116,6 @@ def knn_join(
             "(ann_topk_lsh) or raise max_broadcast_rows/max_chunks "
             "explicitly"
         )
-    sc = candidates.sparkSession.sparkContext
-    q_sel = queries.select("vec_id", "embedding")
     cand_sel = candidates.select("vec_id", "embedding")
 
     def make_score(bq):
@@ -171,6 +181,7 @@ def knn_join(
             make_score(bq), schema="q_id long, n_id long, cosine_sim double"
         )
         scored = part if scored is None else scored.unionByName(part)
+    q_sel.unpersist()
     if scored is None:
         return candidates.sparkSession.createDataFrame(
             [], "q_id long, n_id long, cosine_sim double, rank int"

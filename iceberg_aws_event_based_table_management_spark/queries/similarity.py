@@ -597,11 +597,17 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, not the fixed-k n²/k the r11 sf10 audit caught (377 s
     at ×100).  At 100 TB cluster_id is a partition key and each
     cluster GEMMs independently."""
+    emb = io.table(spark, sf_dir, "embeddings")
     n = io.parquet_num_rows(sf_dir, "embeddings")
-    k = max(8, -(-(n or 0) // _SEMDEDUP_TARGET))
-    return S.semdedup_flags(
-        io.table(spark, sf_dir, "embeddings"), k=k, tau=_SEMDEDUP_TAU
-    )
+    if n is None:
+        # Unreadable footer: fall back to an engine-side count (one
+        # plan-build job) rather than 0 — a silent k=8 would diverge
+        # from the oracle's COUNT(*)-derived k on any corpus over
+        # 8*target rows AND re-enter the fixed-k quadratic regime the
+        # corpus-scaled k exists to kill.
+        n = emb.count()
+    k = max(8, -(-n // _SEMDEDUP_TARGET))
+    return S.semdedup_flags(emb, k=k, tau=_SEMDEDUP_TAU)
 
 
 @register(

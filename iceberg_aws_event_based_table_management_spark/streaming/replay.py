@@ -79,15 +79,31 @@ SENTINEL_USER_ID = -1
 
 # One max(ts) scan per fixture dir, not per streaming-query invocation
 # (r10 verdict #5: every sentinel-building streaming query paid a
-# second job over the events table to fetch one scalar).  Keyed on the
-# absolute path; fixture dirs are immutable within a session (testdata
-# is read-only, scratch fixtures are per-test temp dirs).
-_MAX_TS_CACHE: dict[str, "datetime.datetime | None"] = {}
+# second job over the events table to fetch one scalar).  Keyed on
+# (absolute path, events-table mtime) so a dir whose events table is
+# written or REwritten after the first call (staged scratch dirs,
+# /tmp/sf1 rebuilt in-process by bench tooling) re-scans instead of
+# returning a stale — or a cached-None — max_ts; a missing table is
+# likewise never cached.
+_MAX_TS_CACHE: dict[tuple[str, float], "datetime.datetime | None"] = {}
+
+
+def _events_mtime(sf_dir: str) -> float | None:
+    """mtime of the events table (file or directory), None if absent."""
+    p = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    try:
+        return os.stat(p).st_mtime
+    except OSError:
+        return None
 
 
 def events_max_ts(spark: SparkSession, sf_dir: str):
     """Cached max(ts) of the fixture's events table (None when empty)."""
-    key = os.path.abspath(sf_dir)
+    mtime = _events_mtime(sf_dir)
+    if mtime is None:
+        # absent table: don't cache — a later write must be seen
+        return io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    key = (os.path.abspath(sf_dir), mtime)
     if key not in _MAX_TS_CACHE:
         _MAX_TS_CACHE[key] = (
             io.table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]

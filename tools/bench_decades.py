@@ -102,6 +102,10 @@ def main() -> int:
         with open(args.out + ".partial", "w") as fh:
             json.dump(per_sf, fh, indent=1)
 
+    # clamp sub-millisecond medians: a 0.0 timing would crash the log
+    # AFTER every timing leg has run (the .partial keeps raw numbers,
+    # but the final payload would be lost — r11 advice)
+    EPS = 1e-3
     exponents: dict[str, dict[str, float]] = {}
     pairs = [(sfs[i], sfs[i + 1]) for i in range(len(sfs) - 1)]
     for name in per_sf[sfs[0]]:
@@ -109,7 +113,11 @@ def main() -> int:
         for lo, hi in pairs:
             ratio = float(hi) / float(lo)
             e[f"x{lo}_to_x{hi}"] = round(
-                math.log(per_sf[hi][name] / per_sf[lo][name]) / math.log(ratio), 3
+                math.log(
+                    max(per_sf[hi][name], EPS) / max(per_sf[lo][name], EPS)
+                )
+                / math.log(ratio),
+                3,
             )
         exponents[name] = e
 
@@ -117,7 +125,9 @@ def main() -> int:
     suite_exp = {}
     for lo, hi in pairs:
         suite_exp[f"x{lo}_to_x{hi}"] = round(
-            math.log(totals[hi] / totals[lo]) / math.log(float(hi) / float(lo)), 3
+            math.log(max(totals[hi], EPS) / max(totals[lo], EPS))
+            / math.log(float(hi) / float(lo)),
+            3,
         )
     payload = {
         "metric": "headline_decades",
