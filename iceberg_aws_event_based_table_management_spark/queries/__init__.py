@@ -695,6 +695,82 @@ def load() -> None:
         "graph_khop_reach",
     ]
 
+    # ROUND-13 STAGING: §2 was frozen in round 12 (reference coverage
+    # complete at 324 rows since r7; every staged generation consumed),
+    # so no round-12 registrations exist — the list is empty and the
+    # round-13 window is pure canaries.
+    staged_new_r12: list[str] = []
+
+    # ROUND-13 PLAN (authored in round 12, per the r11 registry note):
+    # once staged_new_r11 (E242–E245) grades green, a SIXTH fresh
+    # canary sample fills the window — the 50 OLDEST never-re-swept
+    # greens (single driver grade, never in any canary list; computed
+    # from the CORRECTNESS_r01–r11 ledger): every remaining r3–r6
+    # green (26) plus 24 of the 28 r7 greens (the four held back for
+    # round 14 — ohlc_daily_value, cusum_changepoint_daily,
+    # ewma_daily_smoothing, cumulative_unique_users — have close
+    # family siblings already in this sample).  Disjoint from
+    # canaries_r8–r12 and every staged list by construction.  After
+    # this window the never-re-swept pool holds ~47 more greens
+    # (4 × r7, 28 × r10, 15 × r11) — round 14 should rotate again.
+    canaries_r13 = [
+        # r3 greens: format-drift sentinels, oldest grades on ledger
+        "source_json_roundtrip",
+        "text_fingerprint_rolling",
+        "text_quality_score",
+        # r4 greens
+        "anomaly_commit_rate",
+        "corpus_token_topk",
+        "corpus_version_diff",
+        "session_commit_bursts",
+        "udtf_binpack_per_table",
+        # r5 greens
+        "audit_referential_integrity",
+        "corpus_length_histogram",
+        "corpus_term_drift",
+        "embedding_label_outliers",
+        "quality_gate_adaptive",
+        "route_quarantine",
+        "sample_quality_deciles",
+        "seqlen_bucket_padding",
+        "source_token_budget",
+        "text_heuristic_filter",
+        "text_rarity_score",
+        "vocab_pair_merge_counts",
+        # r6 greens
+        "agg_incremental_maintenance",
+        "composite_top_supplier",
+        "distinct_kmv_set_ops",
+        "files_composite_predicate_skipping",
+        "stream_ohlc_daily",
+        "text_interdoc_ngram_coverage",
+        # r7 greens (24 of 28)
+        "apportion_token_budget",
+        "bollinger_breakout_days",
+        "calibration_reliability_bins",
+        "cohort_ltv_weekly",
+        "commit_seasonality_profile",
+        "densify_daily_commits",
+        "drift_chi_square_gate",
+        "event_disorder_audit",
+        "fair_share_allocation",
+        "functional_dependency_audit",
+        "join_cardinality_sampled_estimate",
+        "mannwhitney_u_lengths",
+        "merge_user_intervals",
+        "pareto_skyline_customers",
+        "quantile_normalize_lengths",
+        "rolling_distinct_users_7d",
+        "session_first_purchase_mrr",
+        "shipping_lag_percentiles",
+        "source_lang_mix_entropy",
+        "source_length_trend",
+        "source_length_zscore_outliers",
+        "text_lexical_diversity",
+        "tree_split_gini_quantity",
+        "vocab_coverage_curve",
+    ]
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
@@ -729,9 +805,19 @@ def load() -> None:
         | set(staged_new_r9)
         | set(staged_new_r10)
         | set(staged_new_r11)
+        | set(staged_new_r12)
         | set(reoracled_r9)
     )
-    if not set(staged_new_r10) - green:
+    if not set(staged_new_r11) - green:
+        # ROUND-13 REGIME: the r12 window has been driver-graded (every
+        # round-11-staged newcomer green).  No round-12 registrations
+        # exist (§2 frozen), so the sixth fresh canary sample IS the
+        # window.
+        pending_new = [
+            n for n in staged_new_r12 if n not in green and n in registry.QUERIES
+        ]
+        _flip(pending_new + canaries_r13, "round-13", backlog)
+    elif not set(staged_new_r10) - green:
         # ROUND-12 REGIME: the r11 window has been driver-graded (every
         # round-10-staged newcomer green), so the four round-11-staged
         # newcomers lead and the FIFTH fresh canary sample fills the

@@ -112,7 +112,13 @@ def _expected_window(green: set[str]) -> list[str]:
     staged_r9 = _hand_authored("staged_new_r9")
     staged_r10 = _hand_authored("staged_new_r10")
     staged_r11 = _hand_authored("staged_new_r11")
+    staged_r12 = _hand_authored("staged_new_r12")
     reoracled = _hand_authored("reoracled_r9")
+    if not set(staged_r11) - green:
+        lead = [
+            n for n in staged_r12 if n not in green and n in registry.QUERIES
+        ]
+        return lead + _hand_authored("canaries_r13")
     if not set(staged_r10) - green:
         lead = [
             n for n in staged_r11 if n not in green and n in registry.QUERIES
@@ -402,6 +408,69 @@ def test_r12_flip_after_staged_r10_greens(loaded, monkeypatch):
         assert (
             names[len(staged_r11) : len(staged_r11) + len(canaries)] == canaries
         )
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(snapshot)
+        monkeypatch.setattr(q, "_LOADED", True)
+
+
+def test_canaries_r13_all_registered_and_fresh(loaded):
+    """The round-13 canary sample (authored in round 12, per the r11
+    registry note) must be registered, duplicate-free, sized so
+    staged_new_r12 (empty — §2 frozen in round 12) + canaries fill the
+    50-slot window exactly, driver-green already, and FRESH: disjoint
+    from all five earlier canary lists and every staged generation —
+    it sweeps the 50 OLDEST greens no prior window ever re-graded."""
+    canaries_r13 = _hand_authored("canaries_r13")
+    staged_r12 = _hand_authored("staged_new_r12")
+    assert len(staged_r12) + len(canaries_r13) == 50
+    assert len(set(canaries_r13)) == len(canaries_r13)
+    green = registry.driver_green_names()
+    for n in canaries_r13:
+        assert n in registry.QUERIES, f"unregistered r13 canary {n}"
+        assert n in green, f"r13 canary {n} has no driver-green record"
+    prior = (
+        set(_hand_authored("canaries_r8"))
+        | set(_hand_authored("canaries_r9"))
+        | set(_hand_authored("canaries_r10"))
+        | set(_hand_authored("canaries_r11"))
+        | set(_hand_authored("canaries_r12"))
+        | set(TAIL_R8)
+        | set(_hand_authored("staged_new_r8"))
+        | set(_hand_authored("staged_new_r9"))
+        | set(_hand_authored("staged_new_r10"))
+        | set(_hand_authored("staged_new_r11"))
+        | set(_hand_authored("reoracled_r9"))
+    )
+    stale = set(canaries_r13) & prior
+    assert not stale, f"r13 canaries reuse already-swept names: {sorted(stale)}"
+
+
+def test_r13_flip_after_staged_r11_greens(loaded, monkeypatch):
+    """Pin the ROUND-13 regime against a synthetic record set where
+    every staged_new_r11 name has graded green (the state the driver
+    creates by landing CORRECTNESS_r12): canaries_r13 IS the window
+    (no round-12 registrations exist).  Records pinned to the r11 view
+    plus one synthetic round so the driver landing CORRECTNESS_r12 for
+    real cannot redden this reconstruction."""
+    import iceberg_aws_event_based_table_management_spark.queries as q
+
+    synthetic_r12 = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+        for n in _hand_authored("staged_new_r11")
+    }
+    records = _real_records(max_round=11) + [synthetic_r12]
+    real_fn = registry.driver_green_names
+    monkeypatch.setattr(
+        registry, "driver_green_names", lambda recs=None: real_fn(records=records)
+    )
+    snapshot = dict(registry.QUERIES)
+    monkeypatch.setattr(q, "_LOADED", False)
+    try:
+        q.load()
+        names = list(registry.QUERIES)
+        canaries = _hand_authored("canaries_r13")
+        assert names[: len(canaries)] == canaries
     finally:
         registry.QUERIES.clear()
         registry.QUERIES.update(snapshot)

@@ -157,21 +157,32 @@ def main() -> int:
 
     workdir = "/tmp/dedup-scale-probe"
     shutil.rmtree(workdir, ignore_errors=True)
-    dirs = {m: build_scaled(spark, m, workdir) for m in mults}
-
-    # warm the JVM/codegen/shuffle paths once on the smallest corpus
-    for q in queries:
-        qmap[q](spark, dirs[mults[0]]).count()
+    # Record fixture-build time separately from measurement (r11
+    # verdict #7: the ppjoin x30 "40.7 s" conflated rebuild + GC with
+    # the measured run and needed an A/B appendix to explain away).
+    build_s: dict[str, float] = {}
+    dirs: dict[int, str] = {}
+    for m in mults:
+        t0 = time.monotonic()
+        dirs[m] = build_scaled(spark, m, workdir)
+        build_s[str(m)] = round(time.monotonic() - t0, 3)
 
     results: dict[str, dict] = {}
     for q in queries:
-        times, rows = {}, {}
+        times, rows, warm_s = {}, {}, {}
         for m in mults:
+            # One untimed warm run PER (query, mult) — not just at the
+            # smallest mult — so the timed runs never pay first-scan
+            # page-cache misses or codegen for this plan shape; its
+            # duration is still recorded (warm_run_s) for honesty.
+            t0 = time.monotonic()
+            n = qmap[q](spark, dirs[m]).count()
+            warm_s[str(m)] = round(time.monotonic() - t0, 3)
             # min of 2 runs: a single local-mode run is exposed to GC
             # pauses and shuffle-dir churn from the previous query's
             # x10 run (observed 40s vs 4s flukes); min is the standard
             # noise floor estimator for scaling curves
-            best, n = None, 0
+            best = None
             for _ in range(2):
                 t0 = time.monotonic()
                 n = qmap[q](spark, dirs[m]).count()
@@ -183,6 +194,7 @@ def main() -> int:
         exponent = math.log(times[hi] / times[lo]) / math.log(hi / lo)
         results[q] = {
             "seconds": {str(m): times[m] for m in mults},
+            "warm_run_s": warm_s,
             "rows": {str(m): rows[m] for m in mults},
             "exponent_x1_to_x%d" % hi: round(exponent, 3),
         }
@@ -191,6 +203,10 @@ def main() -> int:
     payload = {
         "base": BASE,
         "mults": mults,
+        "build_s": build_s,
+        "protocol": "exponents from warm timed runs only: per (query, mult) "
+        "one untimed warm pass then min-of-2 timed; fixture build cost "
+        "recorded separately in build_s",
         "note": "copy-k words suffixed -> disjoint cross-copy vocabulary; "
         "duplicate density preserved, output scales linearly by construction",
         "results": results,
