@@ -95,20 +95,10 @@ def knn_join(
     from pyspark.sql import Window
 
     sc = candidates.sparkSession.sparkContext
-    # persist() pins ONE evaluation of the query side across the
-    # count() + per-chunk toPandas() reads below: if `queries` is
-    # nondeterministic (limit/sample/derived from a shuffle without a
-    # stable sort), re-evaluation could change rows between reads and
-    # the xxhash64-mod chunking would silently drop or duplicate
-    # queries.  Bounded memory: the cap rejects query sides above
-    # max_chunks x max_broadcast_rows rows before anything large is
-    # cached.  Unpersisted before return — every chunk is already
-    # materialized driver-side into its broadcast by then.
-    q_sel = queries.select("vec_id", "embedding").persist()
+    q_sel = queries.select("vec_id", "embedding")
     n_queries = q_sel.count()
     n_chunks = max(1, -(-n_queries // max_broadcast_rows))
     if n_chunks > max_chunks:
-        q_sel.unpersist()
         raise ValueError(
             f"knn_join query side has {n_queries} rows = {n_chunks} "
             f"broadcast chunks of {max_broadcast_rows}, above the "
@@ -116,6 +106,23 @@ def knn_join(
             "(ann_topk_lsh) or raise max_broadcast_rows/max_chunks "
             "explicitly"
         )
+    if n_chunks > 1:
+        # persist() pins ONE evaluation of the query side across the
+        # per-chunk toPandas() reads below: if `queries` is
+        # nondeterministic (limit/sample/derived from a shuffle without
+        # a stable sort), re-evaluation could change rows between reads
+        # and the xxhash64-mod chunking would silently drop or
+        # duplicate queries.  The single-chunk path does exactly one
+        # toPandas() — already one evaluation — so it skips the cache
+        # write/read round-trip (r11 bench: the persist cost
+        # label_noise_knn_consensus ~0.7 s per run at sf0.1; the
+        # count() above may see a different evaluation, but it only
+        # sizes the chunking, never selects rows).  Bounded memory:
+        # the cap rejects query sides above
+        # max_chunks x max_broadcast_rows rows before anything large
+        # is cached.  Unpersisted before return — every chunk is
+        # already materialized driver-side into its broadcast by then.
+        q_sel = q_sel.persist()
     cand_sel = candidates.select("vec_id", "embedding")
 
     def make_score(bq):
@@ -138,18 +145,29 @@ def knn_join(
                 # at 200k broadcast queries an unblocked GEMM output
                 # was 8 GB × 32 workers (the r11 sf10 OOM).  Each
                 # query column's top-k is independent, so blocking is
-                # result-invariant; the column-wise lexsort keeps the
-                # exact (sim desc, id asc) total order the global
-                # re-rank uses (ties included), replacing the
-                # per-query Python loop that went quadratic in
-                # queries × batches.
+                # result-invariant.
                 qblock = max(256, (1 << 22) // max(n_b, 1))
+                # Exact (sim desc, id asc) top-k via ONE int64
+                # composite key per cell: sims are 6-dec rounded so
+                # rint(sims*1e6) is exact, and key = sim_i*n_b -
+                # id_rank orders by (sim desc, id asc) — an id-rank
+                # difference (< n_b) can never flip a 1-ulp sim step
+                # (= n_b).  argpartition is O(n_b) per column vs the
+                # r11 matrix lexsort's O(n_b log n_b) — 3x at
+                # 10k × 2k in the kernel micro-bench.  Emission order
+                # within the k is irrelevant: the global window
+                # re-ranks with the same total order, so only the SET
+                # of locally-emitted candidates matters, and the key
+                # selects exactly the lexsort's set, ties included.
+                id_rank = np.empty(n_b, dtype=np.int64)
+                id_rank[np.argsort(n_ids, kind="stable")] = np.arange(n_b)
                 for s in range(0, len(ids_q), qblock):
                     sims = np.round(cu @ qu[s : s + qblock].T, 6)
-                    order = np.lexsort(
-                        (np.broadcast_to(n_ids[:, None], sims.shape), -sims),
-                        axis=0,
-                    )[:kk]
+                    key = (
+                        np.rint(sims * 1e6).astype(np.int64) * n_b
+                        - id_rank[:, None]
+                    )
+                    order = np.argpartition(-key, kk - 1, axis=0)[:kk]
                     yield pd.DataFrame(
                         {
                             "q_id": np.repeat(ids_q[s : s + qblock], kk),
@@ -181,7 +199,8 @@ def knn_join(
             make_score(bq), schema="q_id long, n_id long, cosine_sim double"
         )
         scored = part if scored is None else scored.unionByName(part)
-    q_sel.unpersist()
+    if n_chunks > 1:
+        q_sel.unpersist()
     if scored is None:
         return candidates.sparkSession.createDataFrame(
             [], "q_id long, n_id long, cosine_sim double, rank int"
