@@ -263,7 +263,9 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     return fp
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 25, small_cutoff: int = 200_000
+) -> DataFrame:
     """Near-duplicate CLUSTER resolution: union the pair graph into
     connected components, component id = min doc_id in the component
     (the survivor).  Pairwise output alone under-deduplicates: if A~B
@@ -284,8 +286,56 @@ def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     graph is handed to `connected_components_star` below, whose
     large-star/small-star contraction converges in O(log^2 n) rounds
     on ANY shape.  Shallow graphs (the overwhelmingly common near-dup
-    case) never pay the extra machinery; deep ones never hit a cliff."""
-    edges = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    case) never pay the extra machinery; deep ones never hit a cliff.
+
+    GATED small-graph path (r12, from the sf10 audit): the iterative
+    machinery costs a fixed ~4-6 Spark jobs even on a 256-pair graph
+    (the whole sf0.1 candidate set) — pure scheduling overhead.  The
+    candidate-pair table is materialized once and counted (a linear
+    job the distributed loop pays anyway to build its edge list); at
+    or below `small_cutoff` pairs the component labels come from a
+    driver-side union-find over the COLLECTED pair list instead —
+    bounded by the gate (200k pairs ≈ 3 MB), exact same output
+    contract (union-by-min-root makes every root the component min),
+    0 further Spark jobs.  Above the cutoff nothing is collected and
+    the label-prop/star machinery runs unchanged; tests pin
+    driver-path == distributed-path equality."""
+    und = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=False)
+    n_pairs = und.count()
+    if n_pairs <= small_cutoff:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in und.collect():
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra > rb:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        id_type = pairs.schema["doc_id_a"].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("component_id", id_type),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(v, find(v)) for v in parent], schema
+        )
+    edges = und.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)

@@ -360,11 +360,17 @@ def test_connected_components_chain_and_convergence_guard(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "doc_id_a long, doc_id_b long"
     )
-    comp = {r.doc_id: r.component_id for r in D.connected_components(pairs).collect()}
+    comp = {
+        r.doc_id: r.component_id
+        for r in D.connected_components(pairs, small_cutoff=0).collect()
+    }
     assert set(comp.values()) == {0}, comp
     # diameter 6 > max_iters=2: the star fallback must still resolve
     # the full chain into the single min-labeled component
-    fb = {r.doc_id: r.component_id for r in D.connected_components(pairs, max_iters=2).collect()}
+    fb = {
+        r.doc_id: r.component_id
+        for r in D.connected_components(pairs, max_iters=2, small_cutoff=0).collect()
+    }
     assert fb == comp, fb
 
 
@@ -377,7 +383,10 @@ def test_connected_components_deep_chain_no_cliff(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_id_a long, doc_id_b long"
     )
-    comp = {r.doc_id: r.component_id for r in D.connected_components(pairs).collect()}
+    comp = {
+        r.doc_id: r.component_id
+        for r in D.connected_components(pairs, small_cutoff=0).collect()
+    }
     assert len(comp) == n
     assert set(comp.values()) == {0}, sorted(set(comp.values()))[:5]
 
@@ -390,10 +399,35 @@ def test_star_contraction_matches_label_propagation_on_chain(spark):
         [(i, i + 1) for i in range(9)] + [(100, 101)],
         "doc_id_a long, doc_id_b long",
     )
-    prop = {(r.doc_id, r.component_id) for r in D.connected_components(pairs).collect()}
+    prop = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(pairs, small_cutoff=0).collect()
+    }
     star = {(r.doc_id, r.component_id) for r in D.connected_components_star(pairs).collect()}
     assert star == prop
     assert {c for _, c in star} == {0, 100}
+
+
+def test_connected_components_driver_gate_matches_distributed(spark):
+    """The r12 small-graph gate: the driver union-find path (default —
+    the pair count sits under the cutoff) must return the exact row
+    set of the distributed label propagation on a graph mixing a
+    chain, a triangle-with-chord, self-loop-only nodes, and an
+    isolated pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22), (20, 22),
+         (7, 7), (9, 9), (50, 51)],
+        "doc_id_a long, doc_id_b long",
+    )
+    gated = {(r.doc_id, r.component_id) for r in D.connected_components(pairs).collect()}
+    dist = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(pairs, small_cutoff=0).collect()
+    }
+    assert gated == dist
+    assert gated == {(1, 1), (2, 1), (3, 1), (4, 1),
+                     (20, 20), (21, 20), (22, 20),
+                     (7, 7), (9, 9), (50, 50), (51, 50)}
 
 
 def test_star_contraction_keeps_self_loop_only_nodes(spark):
