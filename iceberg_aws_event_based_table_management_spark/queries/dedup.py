@@ -526,12 +526,17 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingles(combined, 3).localCheckpoint(eager=False)
     sig = D.minhash_signatures(sh, num_hashes=32).localCheckpoint(eager=False)
     cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
-    pairs = D.jaccard_pairs(sh, block=cands, threshold=0.5)
     # jaccard_pairs emits doc_id_a < doc_id_b; base ids < offset <=
-    # batch ids, so cross pairs are exactly (a=base, b=batch)
-    cross = pairs.filter(
+    # batch ids, so cross candidates are exactly (a=base, b=batch).
+    # Admission only ever needs cross pairs, so restrict the BLOCK —
+    # base×base near-dups (the bulk of a replicated corpus's banded
+    # candidates) then fall out of the verify semi-join before the
+    # size joins and jaccard arithmetic instead of after them (r12:
+    # identical output, verify work ∝ cross candidates only).
+    cross_cands = cands.filter(
         (F.col("doc_id_a") < _INC_OFFSET) & (F.col("doc_id_b") >= _INC_OFFSET)
     )
+    cross = D.jaccard_pairs(sh, block=cross_cands, threshold=0.5)
     best = (
         cross.groupBy("doc_id_b")
         .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"), F.col("doc_id_a").alias("a"))).alias("m"))
