@@ -352,6 +352,48 @@ def test_knn_join_chunked_equals_single_broadcast(spark, sf_dir):
     assert chunked == one
 
 
+def test_knn_join_rounding_ties_match_numpy_reference(spark):
+    """The r12 composite-key kernel (rint(sim*1e6)*n_b - id_rank +
+    argpartition) must select exactly the (sim desc, id asc) top-k of
+    the 6-decimal-ROUNDED sims — stress it with candidate triples that
+    differ only at the 1e-9 level, so they tie only after rounding and
+    the id tie-break decides; reference = numpy cosine + lexsort."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from iceberg_aws_event_based_table_management_spark.operators.similarity import (
+        knn_join,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(20, 8))
+    cand = []
+    for i in range(60):
+        v = base[i // 3].copy()
+        v[0] += (i % 3) * 1e-9  # ties only after round(..., 6)
+        cand.append((200 + i, [float(x) for x in v]))
+    queries = [(j, [float(x) for x in rng.normal(size=8)]) for j in range(5)]
+    k = 4
+
+    cm = np.array([v for _, v in cand], dtype=np.float64)
+    cm = cm / np.linalg.norm(cm, axis=1)[:, None]
+    c_ids = np.array([i for i, _ in cand])
+    expected = set()
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        sims = np.round(cm @ (q / np.linalg.norm(q)), 6)
+        order = np.lexsort((c_ids, -sims))[:k]
+        for rk, idx in enumerate(order, start=1):
+            expected.add((qid, int(c_ids[idx]), rk))
+
+    cdf = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in cand]
+    ).repartition(7)
+    qdf = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in queries])
+    got = {(r.q_id, r.n_id, r.rank) for r in knn_join(qdf, cdf, k=k).collect()}
+    assert got == expected
+
+
 def test_connected_components_chain_and_convergence_guard(spark):
     """A 6-node chain collapses to one component (min label reaches the
     far end), and an under-budgeted iteration cap ADAPTIVELY falls back
