@@ -302,3 +302,19 @@ def test_stream_static_enrichment_equals_batch_join(spark, sf_dir, qmap):
     for r in firsts:
         by_user[r.user_id] = by_user.get(r.user_id, 0) + 1
     assert all(v == 1 for v in by_user.values())
+
+
+def test_semdedup_footer_fallback_matches_footer_path(spark, sf_dir, qmap, monkeypatch):
+    """r11 ADVICE: when the parquet footer is unreadable the corpus
+    size must come from an engine-side count, NOT a silent k=8 — the
+    fallback k (and therefore the flags) must equal the footer path's."""
+    from iceberg_aws_event_based_table_management_spark import io as eio
+
+    normal = sorted(
+        tuple(r) for r in qmap["dedup_semantic_semdedup"](spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(eio, "parquet_num_rows", lambda *a, **k: None)
+    fallback = sorted(
+        tuple(r) for r in qmap["dedup_semantic_semdedup"](spark, sf_dir).collect()
+    )
+    assert fallback == normal

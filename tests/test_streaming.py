@@ -194,3 +194,38 @@ def test_events_max_ts_cached_per_sf_dir(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(io, "table", _no_scan)
     assert replay.events_max_ts(spark, sf_dir) == first
+
+
+def test_events_max_ts_rescans_after_rebuild(spark, sf_dir, tmp_path):
+    """r11 ADVICE: the max(ts) cache is keyed on (dir, events mtime),
+    so a fixture dir whose events table is REBUILT after the first
+    call must be re-scanned — a pure-abspath cache returned stale (or
+    None-forever) sentinels for scratch dirs populated in stages."""
+    import shutil
+
+    d = str(tmp_path / "staged_sf")
+    os.makedirs(d)
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(d, "events.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+    first = replay.events_max_ts(spark, d)
+    assert first is not None
+
+    # rebuild the table with every ts shifted +1 hour and a newer mtime
+    shifted = io.table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    tmp_out = str(tmp_path / "events_shifted")
+    shifted.write.mode("overwrite").parquet(tmp_out)
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    else:
+        os.remove(dst)
+    shutil.move(tmp_out, dst)
+    os.utime(dst, (os.stat(dst).st_mtime + 10, os.stat(dst).st_mtime + 10))
+
+    second = replay.events_max_ts(spark, d)
+    assert second == first + __import__("datetime").timedelta(hours=1), (
+        first,
+        second,
+    )
