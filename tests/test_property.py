@@ -283,8 +283,40 @@ def test_adaptive_fallback_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(canon, "doc_id_a long, doc_id_b long")
     got = {
         (r.doc_id, r.component_id)
-        for r in D.connected_components(pairs, max_iters=1).collect()
+        # small_cutoff=0: the r12 driver gate would otherwise swallow
+        # these small graphs before max_iters ever applies
+        for r in D.connected_components(pairs, max_iters=1, small_cutoff=0).collect()
     }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in canon:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_jgraph)
+def test_small_graph_gate_matches_union_find(spark, edges):
+    """The r12 driver-gate path (the DEFAULT for graphs under the
+    200k-pair cutoff) vs an independent literal union-find on random
+    graphs — including self-loop pairs, which the gate must keep as
+    singleton components like label propagation does."""
+    from iceberg_aws_event_based_table_management_spark.operators import dedup as D
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges}) + [(99, 99)]
+    pairs = spark.createDataFrame(canon, "doc_id_a long, doc_id_b long")
+    got = {(r.doc_id, r.component_id) for r in D.connected_components(pairs).collect()}
 
     parent = {}
 
