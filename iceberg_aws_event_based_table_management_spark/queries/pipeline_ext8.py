@@ -395,12 +395,23 @@ def tree_split_gini_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r_v").over(wall).alias("tr"),
     )
     nl, n = F.col("nl"), F.col("n")
+    # The numerator is CUBIC in row count (nl² terms × nr) — long
+    # arithmetic overflows past ~2M rows (caught by the r12 sf1 smoke
+    # probe: ANSI fail-stop at sf1's 6M lineitem).  DuckDB's windowed
+    # SUM promotes to HUGEINT (int128), so the oracle already computes
+    # wide; decimal(38,0) gives the engine the same exact headroom to
+    # ~10¹² rows, converting to double only at the final ratio exactly
+    # as before (values identical at any non-overflowing size).
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nl_d, n_d = dec(nl), dec(n)
+    nr_d = n_d - nl_d
     nr = n - nl
-    left_num = nl * nl - F.col("ca") * F.col("ca") - F.col("cn") * F.col("cn") - F.col("cr") * F.col("cr")
-    ra = F.col("ta") - F.col("ca")
-    rn = F.col("tn") - F.col("cn")
-    rr = F.col("tr") - F.col("cr")
-    right_num = nr * nr - ra * ra - rn * rn - rr * rr
+    ca, cn, cr = dec(F.col("ca")), dec(F.col("cn")), dec(F.col("cr"))
+    left_num = nl_d * nl_d - ca * ca - cn * cn - cr * cr
+    ra = dec(F.col("ta")) - ca
+    rn = dec(F.col("tn")) - cn
+    rr = dec(F.col("tr")) - cr
+    right_num = nr_d * nr_d - ra * ra - rn * rn - rr * rr
     g = (
         cum.filter(nr > 0)
         .select(
@@ -409,8 +420,8 @@ def tree_split_gini_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             nr.alias("n_right"),
             F.floor(
                 (
-                    (left_num * nr + right_num * nl).cast("double")
-                    / (n * nl * nr).cast("double")
+                    (left_num * nr_d + right_num * nl_d).cast("double")
+                    / (n_d * nl_d * nr_d).cast("double")
                 )
                 * 1000000
             )
