@@ -38,6 +38,27 @@ def exact_dedup(documents: DataFrame, keep: str = "min") -> DataFrame:
     )
 
 
+def _stat_input_bytes(d: DataFrame) -> int | None:
+    """Total statted size of a file-backed frame's input files; None
+    for in-memory/checkpointed frames or non-local URIs."""
+    import os
+    from urllib.parse import urlparse
+
+    files = d.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(p.path or f)
+        except OSError:
+            return None
+    return total
+
+
 def _estimate_input_splits(d: DataFrame) -> int | None:
     """Lower-bound the scan partition count of a file-backed frame
     from its file index: sum over files of ceil(size /
@@ -194,11 +215,20 @@ def lsh_candidate_pairs(
     )
 
 
+#: input-bytes ceiling under which the per-doc sizes table may be
+#: broadcast: at ~32 MB of compressed corpus (~300k docs) the sizes
+#: hash relation plus the shingle stages' execution memory coexist
+#: comfortably; past it the r12 sf10 smoke showed broadcast builds
+#: dying under GC pressure in a 16 GB heap.
+_SIZES_BROADCAST_SAFE_BYTES = 32 * 1024 * 1024
+
+
 def jaccard_pairs(
     sh: DataFrame,
     block: DataFrame | None = None,
     threshold: float = 0.5,
     df_cap: int | None = 1000,
+    broadcast_sizes: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
     (optionally restricted to a candidate/block set).
@@ -228,7 +258,20 @@ def jaccard_pairs(
     and contributes ~0 evidence toward Jaccard >= 0.5 between any
     specific pair.  Doc sizes (n_a/n_b) still count ALL shingles, so
     scores for surviving pairs are unchanged — the fixture's max df is
-    25, so the oracle is exactly preserved."""
+    25, so the oracle is exactly preserved.
+
+    `broadcast_sizes` pins the strategy for the two per-doc size
+    joins: the sizes table is CORPUS-sized (one row per doc), and
+    Catalyst's post-agg estimate reliably undershoots it, so at big
+    corpora a static BroadcastExchange of ~doc_count rows races the
+    shingle stages for one heap and dies (r12 sf10 smoke; the E116
+    lesson again).  None = self-probe the shingle input's statted
+    bytes (falls back to broadcast when unprobeable — checkpointed or
+    in-memory inputs at today's call sites are all fixture-small);
+    callers with a corpus handle pass the footer-derived answer."""
+    if broadcast_sizes is None:
+        nbytes = _stat_input_bytes(sh)
+        broadcast_sizes = nbytes is None or nbytes <= _SIZES_BROADCAST_SAFE_BYTES
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     groups = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
@@ -254,6 +297,9 @@ def jaccard_pairs(
         inter = inter.join(block, ["doc_id_a", "doc_id_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_shingles").alias("n_b"))
+    if not broadcast_sizes:
+        sa = sa.hint("shuffle_hash")
+        sb = sb.hint("shuffle_hash")
     return (
         inter.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")

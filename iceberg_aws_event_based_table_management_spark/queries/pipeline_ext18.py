@@ -876,9 +876,19 @@ def dedup_pair_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators import dedup as D
 
-    pairs = D.jaccard_pairs(D.shingles(docs, 3), threshold=0.5).select(
-        "doc_id_a", "doc_id_b"
-    )
+    # Footer gate (the E116 device): the positional-gram table is
+    # corpus-shingle-sized, and Catalyst's static estimate planned it
+    # as a BroadcastExchange — a ~GB hash relation at 500k docs that
+    # OOMed the r12 sf10 smoke.  Past ~200k docs both gram joins and
+    # the verification's size joins pin shuffle_hash; below, the
+    # broadcast plans stay byte-identical.
+    n_docs = io.parquet_num_rows(sf_dir, "documents")
+    big = n_docs is not None and n_docs > 200_000
+    pairs = D.jaccard_pairs(
+        D.shingles(docs, 3), threshold=0.5, broadcast_sizes=not big
+    ).select("doc_id_a", "doc_id_b")
+    if big:
+        pgrams = pgrams.hint("shuffle_hash")
     ga = pgrams.select(
         F.col("doc_id").alias("doc_id_a"), F.col("pos").alias("pa"), "shingle"
     )

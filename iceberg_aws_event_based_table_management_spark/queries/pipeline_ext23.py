@@ -267,8 +267,14 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Footer gate (the E116 device): past ~200k docs the corpus-sized
+    # signature/size tables must never be planned as static broadcasts
+    # — the r12 sf10 smoke (500k docs) watched those builds die under
+    # GC pressure; below it the broadcast plans stay byte-identical.
+    n_docs = io.parquet_num_rows(sf_dir, "documents")
+    big = n_docs is not None and n_docs > 200_000
     sh = D.shingles(docs, 3).localCheckpoint(eager=False)
-    pairs = D.jaccard_pairs(sh, threshold=0.5).select(
+    pairs = D.jaccard_pairs(sh, threshold=0.5, broadcast_sizes=not big).select(
         "doc_id_a",
         "doc_id_b",
         F.floor(F.col("jaccard") * 1000000).cast("long").alias("jaccard_ppm"),
@@ -279,6 +285,8 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_MH_AUDIT_K)
         ]
     )
+    if big:
+        sigs = sigs.hint("shuffle_hash")
     a = sigs.select(
         F.col("doc_id").alias("doc_id_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_AUDIT_K)],

@@ -223,9 +223,14 @@ def drift_chi_square_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_base").cast("long").alias("tb"),
         F.sum("n_cur").cast("long").alias("tc"),
     )
-    diff = (F.col("n_cur") * F.col("tb") - F.col("n_base") * F.col("tc")).cast(
-        "double"
-    )
+    # Integer products in decimal(38,0): the triple denominator
+    # tb·tc·n_base is CUBIC in event count (long overflow past ~2e7
+    # events — the r12 sf10 smoke's fail-stop) and the numerator diff
+    # is quadratic (dies past ~3e9); decimal matches the oracle's
+    # HUGEINT intermediates exactly, and the double conversions land
+    # on the same values at every non-overflowing size.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diff = (dec("n_cur") * dec("tb") - dec("n_base") * dec("tc")).cast("double")
     contrib = (
         mix.crossJoin(F.broadcast(tot))
         .filter(F.col("n_base") > 0)
@@ -236,7 +241,7 @@ def drift_chi_square_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 (
                     (diff * diff)
-                    / (F.col("tb") * F.col("tc") * F.col("n_base")).cast("double")
+                    / (dec("tb") * dec("tc") * dec("n_base")).cast("double")
                 )
                 * 1000000
             )
