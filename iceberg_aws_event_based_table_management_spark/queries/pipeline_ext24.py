@@ -548,7 +548,8 @@ _TAU_BUCKETS = 20
     WITH rows_ AS (
       SELECT CAST(l_quantity AS BIGINT) AS q,
              NTILE({_TAU_BUCKETS}) OVER (ORDER BY ROUND(l_extendedprice * 100, 0),
-                                         l_orderkey, l_linenumber) AS pb
+                                         l_orderkey, l_linenumber,
+                                         CAST(l_quantity AS BIGINT)) AS pb
       FROM lineitem
     ),
     cells AS (
@@ -600,16 +601,34 @@ def kendall_tau_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines bucket identically.
 
     Scale shape: one grid rollup (map-side combinable) + a 1000-row
-    broadcast self-join; the NTILE's global sort is the documented
-    E175 pattern — at scale it swaps for percent_rank over range
-    partitioning (same buckets, distributed sort)."""
+    broadcast self-join; the vigintile assignment is
+    operators/skew.global_ntile — range-repartition + per-partition
+    rank + partition-offset broadcast, bit-identical to the window
+    NTILE (equivalence-tested) without its single-partition global
+    sort, which the r12 sf10 smoke clocked at 459 s / exponent 1.3
+    on 60M rows."""
     cents = F.round(F.col("l_extendedprice") * 100, 0)
-    rows_ = io.table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("long").alias("q"),
-        F.ntile(_TAU_BUCKETS)
-        .over(Window.orderBy(cents, F.col("l_orderkey"), F.col("l_linenumber")))
-        .alias("pb"),
-    )
+    from ..operators.skew import global_ntile
+
+    # q joins the ORDER BY as the final tiebreak: the synthetic
+    # lineitem duplicates (l_orderkey, l_linenumber), so the old
+    # 3-column order was NOT total — the window NTILE and DuckDB only
+    # agreed through shared sort-stability luck, which a distributed
+    # rank cannot (and should not) reproduce.  With q appended the
+    # order is value-total wherever quantity differs, so every row's
+    # bucket is determined by its VALUES in both engines (full-row
+    # duplicates remain interchangeable — same q, same cell).
+    rows_ = global_ntile(
+        io.table(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("long").alias("q"),
+            cents.alias("_cents"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        _TAU_BUCKETS,
+        ["_cents", "l_orderkey", "l_linenumber", "q"],
+        bucket_col="pb",
+    ).select("q", "pb")
     dec = "decimal(38,0)"
     cells = rows_.groupBy("q", "pb").agg(F.count("*").cast(dec).alias("c"))
     a, b = cells.alias("a"), cells.alias("b")

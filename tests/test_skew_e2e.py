@@ -214,3 +214,33 @@ def test_aqe_skew_join_matches_salted_result(spark, skewed, dim):
         assert fp_aqe == fp_salted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """operators/skew.global_ntile (range-repartition + offset ranks)
+    must reproduce the window NTILE bucket-for-bucket on a unique
+    total order, across n<k, n%k==0 and n%k>0 shapes."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_aws_event_based_table_management_spark.operators.skew import (
+        global_ntile,
+    )
+
+    rng = random.Random(5)
+    for n, k in [(1, 5), (4, 5), (100, 7), (1000, 20), (777, 3)]:
+        vals = rng.sample(range(10**6), n)
+        df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(13)
+        want = {
+            r.v: r.b
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v"))
+            ).collect()
+        }
+        got = {
+            r.v: r.bucket
+            for r in global_ntile(df, k, ["v"], partitions=7).collect()
+        }
+        assert got == want, (n, k)
