@@ -619,10 +619,16 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1000000.0) * top / F.min("total")).cast("long").alias(
             "top10_share_ppm"
         ),
+        # Σ i·y and n·Σy in decimal(38,0): the long form's "~400×
+        # headroom through sf1" ran out at the r12 sf10 smoke (10×
+        # ranks × 10× money is 100× the sum).  DuckDB's SUM already
+        # promotes to HUGEINT, so the oracle computed wide all along;
+        # the double conversions sit at the same two points, so values
+        # are identical at every non-overflowing size.
         F.round(
             F.lit(2.0)
-            * F.sum(F.col("rk_asc") * F.col("cents"))
-            / (F.min("n") * F.min("total"))
+            * F.sum(F.col("rk_asc").cast("decimal(38,0)") * F.col("cents"))
+            / (F.min("n").cast("decimal(38,0)") * F.min("total"))
             - (F.min("n") + F.lit(1.0)) / F.min("n"),
             6,
         ).alias("gini"),
