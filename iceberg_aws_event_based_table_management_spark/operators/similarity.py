@@ -188,6 +188,21 @@ def knn_join(
             else q_sel.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == c)
         )
         qpd = chunk.toPandas()
+        if n_chunks == 1 and len(qpd) > max_broadcast_rows:
+            # The sizing count() above and this toPandas() are separate
+            # evaluations; on a NONDETERMINISTIC query side (sample /
+            # limit / unstable shuffle) the snapshot can exceed what
+            # the count saw.  The single-chunk path skips persist() (it
+            # does exactly one read), so enforce the documented memory
+            # bound here rather than broadcasting an over-cap matrix
+            # (r12 ADVICE) — same escalation contract as the
+            # max_chunks cap: that scale wants LSH/IVF.
+            raise ValueError(
+                f"knn_join query snapshot has {len(qpd)} rows, above "
+                f"max_broadcast_rows={max_broadcast_rows} (the sizing "
+                "count saw fewer — nondeterministic query side?); use "
+                "ann_topk_lsh/ivf_search or raise max_broadcast_rows"
+            )
         if len(qpd) == 0:
             continue
         q_ids = qpd["vec_id"].to_numpy()

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .. import io
 from ..operators import dedup as D
+from ..operators import gates
 from ..registry import register
 
 
@@ -237,7 +238,14 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingles(docs, 3).localCheckpoint(eager=False)
     sig = D.minhash_signatures(sh, num_hashes=32).localCheckpoint(eager=False)
     cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
-    verified = D.jaccard_pairs(sh, block=cands, threshold=0.5)
+    # The checkpointed shingle table is unprobeable (no inputFiles), so
+    # jaccard_pairs' self-probe would pin the shuffle plan at every sf;
+    # the FOOTER gate keeps the small-corpus broadcast fast path and
+    # flips to shuffle_hash only past the doc cutoff (r12 ADVICE).
+    verified = D.jaccard_pairs(
+        sh, block=cands, threshold=0.5,
+        broadcast_sizes=not gates.corpus_exceeds(sf_dir),
+    )
     return verified.select(
         "doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -536,7 +544,12 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross_cands = cands.filter(
         (F.col("doc_id_a") < _INC_OFFSET) & (F.col("doc_id_b") >= _INC_OFFSET)
     )
-    cross = D.jaccard_pairs(sh, block=cross_cands, threshold=0.5)
+    # sh is checkpointed (unprobeable) — footer-gate the size-join
+    # strategy like dedup_near_verified above (r12 ADVICE).
+    cross = D.jaccard_pairs(
+        sh, block=cross_cands, threshold=0.5,
+        broadcast_sizes=not gates.corpus_exceeds(sf_dir),
+    )
     best = (
         cross.groupBy("doc_id_b")
         .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"), F.col("doc_id_a").alias("a"))).alias("m"))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .. import io
 from ..operators import dedup as D
+from ..operators import gates
 from ..operators import text as TXo
 from ..registry import register
 
@@ -251,8 +252,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.
 
     Scale shape: two hash aggregations (tf, then df) + a join on token
-    (df table is vocabulary-sized — broadcastable) + one per-doc
-    window.  N arrives via a 1-row cross join, not a driver constant."""
+    + one per-doc window.  N arrives via a 1-row cross join, not a
+    driver constant.  The df table is VOCABULARY-sized — fine to
+    broadcast on a small corpus, but an open-web vocabulary is 1e8+
+    types (multi-GB), so the join strategy is footer-gated
+    (operators/gates.py, the r13 registry-wide broadcast sweep's one
+    true positive): small corpus -> explicit broadcast, big ->
+    per-partition shuffle_hash build on token."""
     docs = io.table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
@@ -261,7 +267,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(gates.pin_join_side(df, not gates.corpus_exceeds(sf_dir)), "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

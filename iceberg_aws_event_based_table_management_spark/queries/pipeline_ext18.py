@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from ..operators import gates
 from ..registry import register
 from .pipeline_ext8 import _DAILY_CTE, _daily
 
@@ -876,14 +877,14 @@ def dedup_pair_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators import dedup as D
 
-    # Footer gate (the E116 device): the positional-gram table is
-    # corpus-shingle-sized, and Catalyst's static estimate planned it
-    # as a BroadcastExchange — a ~GB hash relation at 500k docs that
-    # OOMed the r12 sf10 smoke.  Past ~200k docs both gram joins and
-    # the verification's size joins pin shuffle_hash; below, the
-    # broadcast plans stay byte-identical.
-    n_docs = io.parquet_num_rows(sf_dir, "documents")
-    big = n_docs is not None and n_docs > 200_000
+    # Footer gate (the E116 device, centralized in operators/gates.py
+    # r13): the positional-gram table is corpus-shingle-sized, and
+    # Catalyst's static estimate planned it as a BroadcastExchange —
+    # a ~GB hash relation at 500k docs that OOMed the r12 sf10 smoke.
+    # Past the doc cutoff (or on an unreadable footer — the safe
+    # direction) both gram joins and the verification's size joins pin
+    # shuffle_hash; below, the broadcast plans stay byte-identical.
+    big = gates.corpus_exceeds(sf_dir)
     pairs = D.jaccard_pairs(
         D.shingles(docs, 3), threshold=0.5, broadcast_sizes=not big
     ).select("doc_id_a", "doc_id_b")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from ..operators import gates
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -271,8 +272,7 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature/size tables must never be planned as static broadcasts
     # — the r12 sf10 smoke (500k docs) watched those builds die under
     # GC pressure; below it the broadcast plans stay byte-identical.
-    n_docs = io.parquet_num_rows(sf_dir, "documents")
-    big = n_docs is not None and n_docs > 200_000
+    big = gates.corpus_exceeds(sf_dir)
     sh = D.shingles(docs, 3).localCheckpoint(eager=False)
     pairs = D.jaccard_pairs(sh, threshold=0.5, broadcast_sizes=not big).select(
         "doc_id_a",

@@ -1,0 +1,217 @@
+"""Round-13 hardenings: the centralized broadcast-size gate
+(operators/gates.py — r12 verdict #5), the safe-direction flip of
+jaccard_pairs' unprobeable-input fallback (r12 ADVICE), Spark
+size-string parsing in the split estimator, the knn_join single-chunk
+memory-bound recheck, and the sampled-anchor mode of
+agg_approx_distinct (r12 verdict #4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import iceberg_aws_event_based_table_management_spark.io as eio
+from iceberg_aws_event_based_table_management_spark.operators import dedup as D
+from iceberg_aws_event_based_table_management_spark.operators import gates
+from iceberg_aws_event_based_table_management_spark.operators import similarity as S
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+# ---------------------------------------------------------------------------
+# gates.corpus_exceeds / pin_join_side
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_exceeds_small_fixture(sf_dir):
+    # sf0.001 documents is far below the 200k cutoff
+    assert gates.corpus_exceeds(sf_dir) is False
+
+
+def test_corpus_exceeds_above_cutoff(sf_dir):
+    assert gates.corpus_exceeds(sf_dir, cutoff=1) is True
+
+
+def test_corpus_exceeds_unreadable_footer_is_big(tmp_path):
+    # Unknown size must take the shuffle plan (safe direction): an
+    # oversized broadcast OOMs, an unnecessary shuffle costs seconds.
+    assert gates.corpus_exceeds(str(tmp_path / "nope")) is True
+
+
+def test_pin_join_side_strategies(spark, sf_dir):
+    docs = eio.table(spark, sf_dir, "documents").select("doc_id")
+    j_small = docs.join(
+        gates.pin_join_side(docs.select(F.col("doc_id").alias("d2")), True),
+        docs.doc_id == F.col("d2"),
+    )
+    j_big = docs.join(
+        gates.pin_join_side(docs.select(F.col("doc_id").alias("d2")), False),
+        docs.doc_id == F.col("d2"),
+    )
+    assert "strategy=broadcast" in _analyzed(j_small)
+    assert "strategy=shuffle_hash" in _analyzed(j_big)
+
+
+# ---------------------------------------------------------------------------
+# jaccard_pairs fallback direction (r12 ADVICE, medium)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_unprobeable_input_pins_shuffle(spark):
+    """A checkpointed/in-memory shingle table has no inputFiles; the
+    self-probe must now choose shuffle_hash for the size joins (the
+    r12 fallback silently broadcast a corpus-sized sizes table)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    plan = _analyzed(D.jaccard_pairs(D.shingles(docs, 3)))
+    assert plan.count("strategy=shuffle_hash") >= 2
+
+
+def test_jaccard_small_file_backed_input_keeps_broadcast_path(spark, sf_dir):
+    """File-backed small corpora keep the broadcast fast path via the
+    statted-bytes probe (no shuffle_hash pin in the plan)."""
+    docs = eio.table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _analyzed(D.jaccard_pairs(D.shingles(docs, 3)))
+    assert "strategy=shuffle_hash" not in plan
+
+
+def test_near_verified_footer_gate(spark, sf_dir, monkeypatch):
+    """The two checkpointed call sites (dedup_near_verified,
+    dedup_incremental_neardup) footer-gate broadcast_sizes: big corpus
+    -> shuffle_hash pins; small fixture -> broadcast path."""
+    import iceberg_aws_event_based_table_management_spark as engine
+
+    engine.load_all_queries()
+    qmap = engine.query_map()
+    for name in ("dedup_near_verified", "dedup_incremental_neardup"):
+        small_plan = _analyzed(qmap[name](spark, sf_dir))
+        assert "strategy=shuffle_hash" not in small_plan, name
+    monkeypatch.setattr(eio, "parquet_num_rows", lambda *a, **k: 10**9)
+    for name in ("dedup_near_verified", "dedup_incremental_neardup"):
+        big_plan = _analyzed(qmap[name](spark, sf_dir))
+        assert big_plan.count("strategy=shuffle_hash") >= 2, name
+
+
+def test_tfidf_vocab_join_footer_gated(spark, sf_dir, monkeypatch):
+    """The r13 registry-wide broadcast sweep's one true positive:
+    tfidf_top_terms force-broadcast the VOCABULARY-sized df table.
+    Now footer-gated: small corpus keeps the explicit broadcast, big
+    corpus pins shuffle_hash on the token join."""
+    import iceberg_aws_event_based_table_management_spark as engine
+
+    engine.load_all_queries()
+    q = engine.query_map()["tfidf_top_terms"]
+    small_plan = _analyzed(q(spark, sf_dir))
+    assert "strategy=broadcast" in small_plan
+    assert "strategy=shuffle_hash" not in small_plan
+    monkeypatch.setattr(eio, "parquet_num_rows", lambda *a, **k: 10**9)
+    big_plan = _analyzed(q(spark, sf_dir))
+    assert "strategy=shuffle_hash" in big_plan
+
+
+# ---------------------------------------------------------------------------
+# Spark size-string parsing (r12 ADVICE, low)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("134217728", 134217728),
+        ("134217728b", 134217728),
+        ("64m", 64 * 1024 * 1024),
+        ("128MB", 128 * 1024 * 1024),
+        ("1g", 1 << 30),
+        ("2K", 2048),
+        (" 16 m ", 16 * 1024 * 1024),
+        ("garbage", None),
+        ("12.5m", None),
+        ("", None),
+    ],
+)
+def test_parse_spark_bytes(raw, expected):
+    assert D._parse_spark_bytes(raw) == expected
+
+
+def test_split_estimator_honors_suffixed_conf(spark, sf_dir):
+    """'64m' must parse (the r12 parser silently fell back to 128MB)."""
+    docs = eio.table(spark, sf_dir, "documents")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        fine = D._estimate_input_splits(docs)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        coarse = D._estimate_input_splits(docs)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # sf0.001 documents.parquet is tens of KB: at 1k max bytes the
+    # estimate must exceed the single-split answer a 1g ceiling gives.
+    assert coarse is not None and fine is not None and fine > coarse
+
+
+# ---------------------------------------------------------------------------
+# knn_join single-chunk memory-bound recheck (r12 ADVICE, low)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_join_single_chunk_recheck_raises(spark, monkeypatch):
+    """If the sizing count undershoots (nondeterministic query side)
+    and the snapshot exceeds max_broadcast_rows, the single-chunk path
+    must raise instead of broadcasting an over-cap matrix."""
+    rows = [(i, [float(i), 1.0]) for i in range(12)]
+    q = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # patch the CONCRETE class (pyspark.sql.classic) — the abstract
+    # pyspark.sql.DataFrame base's count is overridden there
+    monkeypatch.setattr(type(q), "count", lambda self: 5)
+    with pytest.raises(ValueError, match="above\\s+max_broadcast_rows"):
+        S.knn_join(q, cands, k=2, max_broadcast_rows=10)
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_distinct sampled-anchor gate (r12 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def _approx_distinct(spark, sf_dir):
+    import iceberg_aws_event_based_table_management_spark as engine
+
+    engine.load_all_queries()
+    return engine.query_map()["agg_approx_distinct"](spark, sf_dir)
+
+
+def test_approx_distinct_full_anchor_below_gate(spark, sf_dir):
+    plan = _analyzed(_approx_distinct(spark, sf_dir))
+    assert "xxhash64" not in plan  # no slice filter at graded sfs
+
+
+def test_approx_distinct_unreadable_footer_keeps_full_anchor(
+    spark, sf_dir, monkeypatch
+):
+    # Semantics-preserving direction: unknown size must NOT sample.
+    monkeypatch.setattr(eio, "parquet_num_rows", lambda *a, **k: None)
+    plan = _analyzed(_approx_distinct(spark, sf_dir))
+    assert "xxhash64" not in plan
+
+
+def test_approx_distinct_sampled_anchor_above_gate(spark, sf_dir, monkeypatch):
+    """Above the row cutoff the audit runs on the deterministic 1/64
+    key slice: the slice filter is in the plan, the slice is
+    key-complete (exact_orders == COUNT(DISTINCT key in slice)), and
+    the within-bound audit still evaluates."""
+    monkeypatch.setattr(eio, "parquet_num_rows", lambda *a, **k: 10**9)
+    df = _approx_distinct(spark, sf_dir)
+    assert "xxhash64" in _analyzed(df)
+    got = {r.l_returnflag: r.exact_orders for r in df.collect()}
+    li = eio.table(spark, sf_dir, "lineitem")
+    expected = {
+        r.l_returnflag: r.n
+        for r in li.filter(F.pmod(F.xxhash64("l_orderkey"), F.lit(64)) == 0)
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == expected

@@ -161,6 +161,98 @@ def test_no_row_at_a_time_python(spark, sf_dir, qmap):
     assert not bad, f"row-at-a-time Python UDF in the hot path of: {bad}"
 
 
+# Corpus-family queries (documents-table readers) that legitimately
+# keep an EXPLICIT broadcast when the footer gate reports a huge
+# corpus: every entry is a broadcast of a BOUNDED relation — 1-row
+# global statistics, per-SOURCE aggregates (|sources| rows, metadata
+# next to the corpus), fixed-size grids/lexicons, or an eval set that
+# is small by definition — never a corpus-proportional table.  The
+# r13 triage of the initial sweep found exactly ONE true positive
+# (tfidf_top_terms force-broadcast the full vocabulary-sized df
+# table; now footer-gated) — everything below was reviewed and is
+# bounded.
+CORPUS_BROADCAST_OK: dict[str, str] = {
+    "corpus_term_drift": "1-row share-totals relation",
+    "tfidf_top_terms": "1-row n_docs relation (the vocab-sized df join is footer-gated since r13)",
+    "quantile_normalize_lengths": "length-grid CDF frames (value-domain metadata)",
+    "source_length_zscore_outliers": "per-source mean/std stats (|sources| rows)",
+    "bm25_topk_retrieval": "1-row corpus N/total-tokens stats + bounded query terms",
+    "rrf_fuse_retrieval": "inherits bm25's 1-row stats broadcasts",
+    "sketch_heavy_hitters_cms": "1-row token total + fixed wxd CMS table",
+    "vocab_oov_rate": "top-K vocabulary (K fixed; 1e5-ish in production)",
+    "robust_mad_outliers": "per-source median + MAD frames (|sources| rows)",
+    "langid_confusion_matrix": "fixed per-language lexicon + |langs|^2 totals",
+    "text_lang_id": "fixed per-language profile lexicon",
+    "text_contamination_eval_overlap": "eval-set shingles (eval sets are small by definition)",
+    "corpus_mixture_weights": "1-row corpus-totals relation",
+    "curriculum_interleave": "per-source index (|sources| rows)",
+    "corpus_mixture_apply": "1-row totals + per-source weights",
+    "bloom_membership_audit": "bloom bitset positions (fixed filter size m)",
+    "wap_publish_gate": "1-row count aggregates",
+    "drift_psi_lengths": "9-edge reference deciles + 1-row totals (bin metadata)",
+    "text_bigram_perplexity": "1-row vocabulary-size relation",
+    "jackknife_mean_loo": "per-source leave-one-out totals (|sources| rows)",
+    "ks_statistic_by_source": "per-source grid + 1-row corpus total",
+    "vocab_overlap_coefficient": "per-source vocabulary sizes (|sources| rows)",
+    "stratified_neyman_allocation": "1-row (wtot,ntot) + leftover frames",
+    "bh_fdr_correction": "1-row corpus stats + BH cutoff",
+    "bag_bootstrap_ci": "100-row replica-id frame + 1-row CI glue",
+    "kl_divergence_sources": "corpus-decile edges + totals (bin metadata)",
+    "kneser_ney_bigram_probs": "1-row continuation-total relation",
+}
+
+
+def test_no_corpus_broadcast_above_gate(spark, sf_dir, qmap, monkeypatch):
+    """The incident class the r12 sf10 smoke caught twice (and E116
+    before it): a corpus-derived relation planned as a static
+    BroadcastExchange off a garbage compile-time estimate.  The fix
+    pattern is the footer gate (operators/gates.py): past the doc
+    cutoff every corpus-derived join side pins shuffle_hash.
+
+    This sweep proves the gate wiring registry-wide at the one layer a
+    small-sf test CAN prove: with the footer forced huge and Catalyst's
+    own static broadcasts disabled (autoBroadcastJoinThreshold=-1, so
+    any BroadcastExchange left is an EXPLICIT hint), no documents-
+    family query may explicitly broadcast anything that is not an
+    allowlisted bounded relation.  (Catalyst's own static mis-estimates
+    cannot be simulated at sf0.001 — the standing sf1/sf10 all-query
+    smoke remains the instrument for those; this locks the code-side
+    half of the invariant.)"""
+    import iceberg_aws_event_based_table_management_spark.io as eio
+    from iceberg_aws_event_based_table_management_spark.queries import (
+        pipeline_ext6 as ext6,
+    )
+
+    real_num_rows = eio.parquet_num_rows
+
+    def fake_num_rows(sf, name):
+        return 10**9 if name == "documents" else real_num_rows(sf, name)
+
+    monkeypatch.setattr(eio, "parquet_num_rows", fake_num_rows)
+    monkeypatch.setattr(ext6, "_PF_BCAST_MAX_SHINGLES", -1)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    bad = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, fn in qmap.items():
+            if name in SKIP:
+                continue
+            plan = _executed(fn(spark, sf_dir))
+            if "documents.parquet" not in plan:
+                continue
+            if name in CORPUS_BROADCAST_OK:
+                continue
+            n_bcast = plan.count("BroadcastExchange")
+            if n_bcast:
+                bad[name] = f"{n_bcast} explicit BroadcastExchange with gate=big"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert not bad, (
+        "corpus-family queries explicitly broadcast with the footer gate "
+        f"reporting a 10^9-doc corpus: {bad}"
+    )
+
+
 def test_no_unbounded_global_sorts(spark, sf_dir, qmap):
     bad = []
     for name, fn in qmap.items():
