@@ -1201,7 +1201,19 @@ def pagerank_integer_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard Pregel-on-relations shape, 2 shuffles per iteration,
     rank/edge tables only (never the fact tables).  Iterations are a
     fixed unrolled count here; production runs until an integer
-    L1-delta threshold, same plan per round."""
+    L1-delta threshold, same plan per round.
+
+    The cached edge tables are REPARTITIONED BY src before the
+    checkpoints (r13): AQE coalesces the post-agg shuffle toward its
+    64 MB advisory target, so at sf10 the 110M-row ed/edges caches
+    landed in a handful of partitions and building one checkpoint
+    block meant materializing a multi-GB deserialized row array — the
+    heap cliff the r13 sf10 smoke hit (the r12 run of the same code
+    squeaked under it; this class of near-cliff nondeterminism is why
+    the smoke is a standing regime).  Hash-partitioning on src bounds
+    every block at rows/shuffle-partitions AND co-partitions the
+    cache with the outw aggregation and the per-iteration rank join,
+    which both key on src."""
     li = io.table(spark, sf_dir, "lineitem")
     orders = io.table(spark, sf_dir, "orders")
     e = (
@@ -1213,9 +1225,24 @@ def pagerank_integer_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ed = e.unionAll(rev).localCheckpoint(eager=False)
+    # SERIALIZED checkpoint storage: localCheckpoint's default level
+    # (MEMORY_AND_DISK_DESER) builds a per-partition object vector
+    # under SizeEstimator tracking — 32 concurrent multi-hundred-MB
+    # unrolls of boxed rows blew the 16 GB heap at sf10 (110M edges
+    # cached twice).  MEMORY_AND_DISK (serialized since the Spark 3
+    # rename) stores compact bytes (~3-5x smaller for long-only rows)
+    # and spills cleanly.
+    from pyspark.storagelevel import StorageLevel
+
+    ser = StorageLevel.MEMORY_AND_DISK
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ed = (
+        e.unionAll(rev)
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=False, storageLevel=ser)
+    )
     outw = ed.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    edges = ed.join(outw, "src").localCheckpoint(eager=False)
+    edges = ed.join(outw, "src").localCheckpoint(eager=False, storageLevel=ser)
     nodes = ed.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
     base = _PR_SCALE * 15 // 100
