@@ -1203,17 +1203,20 @@ def pagerank_integer_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed unrolled count here; production runs until an integer
     L1-delta threshold, same plan per round.
 
-    The cached edge tables are REPARTITIONED BY src before the
-    checkpoints (r13): AQE coalesces the post-agg shuffle toward its
-    64 MB advisory target, so at sf10 the 110M-row ed/edges caches
-    landed in a handful of partitions and building one checkpoint
-    block meant materializing a multi-GB deserialized row array — the
-    heap cliff the r13 sf10 smoke hit (the r12 run of the same code
-    squeaked under it; this class of near-cliff nondeterminism is why
-    the smoke is a standing regime).  Hash-partitioning on src bounds
-    every block at rows/shuffle-partitions AND co-partitions the
-    cache with the outw aggregation and the per-iteration rank join,
-    which both key on src."""
+    Past a 20M-lineitem-row footer gate the cached edge tables are
+    REPARTITIONED BY src and stored SERIALIZED (r13): AQE coalesces
+    the post-agg shuffle toward its 64 MB advisory target, so at sf10
+    the 110M-row ed/edges caches landed in a handful of partitions
+    and building one checkpoint block meant materializing a multi-GB
+    deserialized boxed-row array — the heap cliff the r13 sf10 smoke
+    hit (the r12 run of the same code squeaked under it; this class
+    of near-cliff nondeterminism is why the smoke is a standing
+    regime).  Hash-partitioning on src bounds every block at
+    rows/shuffle-partitions AND co-partitions the cache with the outw
+    aggregation and the per-iteration rank join, which both key on
+    src; serialized storage shrinks the cached bytes ~3-5x and makes
+    the unroll spillable.  Below the gate the fast deserialized plan
+    is kept (the ser/deser round-trips cost 1.4x at sf1, A/B'd)."""
     li = io.table(spark, sf_dir, "lineitem")
     orders = io.table(spark, sf_dir, "orders")
     e = (
@@ -1225,24 +1228,42 @@ def pagerank_integer_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    # SERIALIZED checkpoint storage: localCheckpoint's default level
-    # (MEMORY_AND_DISK_DESER) builds a per-partition object vector
-    # under SizeEstimator tracking — 32 concurrent multi-hundred-MB
-    # unrolls of boxed rows blew the 16 GB heap at sf10 (110M edges
-    # cached twice).  MEMORY_AND_DISK (serialized since the Spark 3
-    # rename) stores compact bytes (~3-5x smaller for long-only rows)
-    # and spills cleanly.
+    # SERIALIZED checkpoint storage past the footer gate:
+    # localCheckpoint's default level (MEMORY_AND_DISK_DESER) builds a
+    # per-partition object vector under SizeEstimator tracking — 32
+    # concurrent multi-hundred-MB unrolls of boxed rows blew the 16 GB
+    # heap at sf10 (110M edges cached twice).  MEMORY_AND_DISK
+    # (serialized since the Spark 3 rename) stores compact bytes
+    # (~3-5x smaller for long-only rows) and spills cleanly, and the
+    # src repartition bounds every block AND co-partitions the cache
+    # with the out-weight agg and the per-iteration rank join.  The
+    # serialize/deserialize round-trips cost real CPU across the 3
+    # unrolled iterations — interleaved A/B at sf1: 13.5 s vs 9.5 s
+    # (bench_runs/ab_pagerank_sf1_r13.json) — so the safe plan engages
+    # only past 20M lineitem rows (sf10 = 60M flips; graded sfs and
+    # sf1 keep the fast deserialized plan).  Unreadable footer takes
+    # the safe plan: its cost is seconds, the fast plan's is an OOM —
+    # same direction rule as operators/gates.py.
     from pyspark.storagelevel import StorageLevel
 
-    ser = StorageLevel.MEMORY_AND_DISK
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ed = (
-        e.unionAll(rev)
-        .repartition(n_shuffle, "src")
-        .localCheckpoint(eager=False, storageLevel=ser)
-    )
-    outw = ed.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    edges = ed.join(outw, "src").localCheckpoint(eager=False, storageLevel=ser)
+    from ..operators import gates
+
+    if gates.corpus_exceeds(sf_dir, table="lineitem", cutoff=20_000_000):
+        ser = StorageLevel.MEMORY_AND_DISK
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        ed = (
+            e.unionAll(rev)
+            .repartition(n_shuffle, "src")
+            .localCheckpoint(eager=False, storageLevel=ser)
+        )
+        outw = ed.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+        edges = ed.join(outw, "src").localCheckpoint(
+            eager=False, storageLevel=ser
+        )
+    else:
+        ed = e.unionAll(rev).localCheckpoint(eager=False)
+        outw = ed.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+        edges = ed.join(outw, "src").localCheckpoint(eager=False)
     nodes = ed.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(_PR_SCALE).cast("long"))
     base = _PR_SCALE * 15 // 100
