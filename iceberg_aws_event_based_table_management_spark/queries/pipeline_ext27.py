@@ -138,36 +138,47 @@ def dedup_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-join Jaccard; counts are exact integers with one division
     per rate.
 
-    Scale shape: signatures are one partial agg; banding emits
-    bands-per-config rows per doc, and candidates come from
-    (config, band_no, band_val) equi-joins — work tracks collision
-    counts, never all-pairs; the truth join runs only on the
-    candidate-sized set at scale (here corpus-wide as the audit)."""
+    Scale shape: signatures are one partial agg; banding emits all 30
+    (config, band) rows per doc in ONE map-side explode (the D2
+    band_table device — the previous 30-frame unionByName re-planned
+    the signature aggregation once per frame, the dominant cost of the
+    r13 sf10 smoke's 178 s cell); candidates come from (config,
+    band_no, band_val) equi-joins over the checkpointed band table —
+    work tracks collision counts, never all-pairs.  Truth reuses
+    jaccard_pairs' grouped-pair emission (ONE shuffle of the shingle
+    table, df_cap=None so the set is the exact corpus-wide Jaccard
+    truth) instead of a three-shuffle shingle self-join; at scale the
+    truth join runs only on a candidate-sized set (here corpus-wide,
+    as the audit)."""
     from ..operators import dedup as D
+    from ..operators import gates
 
     docs = io.table(spark, sf_dir, "documents")
     # Shared slice-zip shingle helper — short docs (<3 words) yield no
     # shingles, matching the oracle; replaces the sequence(0, size-3)
     # inline form that crashed on short docs because Spark's
     # sequence(0, -1) is the descending [0, -1] (round-9 ADVICE, high).
-    # localCheckpoint (the ext23/E197 pattern): sigs feeds a 30-frame
-    # band union AND the truth join — without materialization every
-    # consumer re-runs the shingle pipeline, and the concurrent
-    # recomputes OOM the BARE 1g driver-mimic session at sf0.01.
+    # localCheckpoint (the ext23/E197 pattern): grams feeds the
+    # signature agg AND the truth pipeline — without materialization
+    # every consumer re-runs the shingle extraction, and the
+    # concurrent recomputes OOM the BARE 1g driver-mimic session at
+    # sf0.01.
     grams = D.shingles(docs, 3).localCheckpoint(eager=False)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
+    # Exact corpus-wide truth set: grouped-pair emission + size joins
+    # (operators/dedup.jaccard_pairs), df_cap=None — no shingle is
+    # dropped, so this is the same pair set the old a×b shingle
+    # self-join produced, in one shuffle instead of three.  The
+    # checkpointed input is unprobeable, so the size-join strategy is
+    # footer-gated explicitly (broadcast below the doc cutoff).
     truth = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("nc"))
-        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-        .filter(
-            F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
-            >= _BT_TRUE_J
+        D.jaccard_pairs(
+            grams,
+            threshold=_BT_TRUE_J,
+            df_cap=None,
+            broadcast_sizes=not gates.corpus_exceeds(sf_dir),
         )
-        .select("da", "db")
+        .select(F.col("doc_id_a").alias("da"), F.col("doc_id_b").alias("db"))
+        .localCheckpoint(eager=False)
     )
     sigs = grams.groupBy("doc_id").agg(
         *[
@@ -175,22 +186,36 @@ def dedup_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_BT_K)
         ]
     )
-    band_frames = []
-    for bb, r in _BT_CONFIGS:
-        for band in range(bb):
-            band_frames.append(
-                sigs.select(
-                    F.lit(f"{bb}x{r}").alias("config"),
-                    "doc_id",
-                    F.lit(band).alias("band_no"),
-                    F.concat_ws(
-                        "|", *[F.col(f"h{band * r + j}").cast("string") for j in range(r)]
-                    ).alias("band_val"),
+    # All 30 (config, band) rows per doc from ONE pass over the
+    # signature table; checkpointed because the candidate self-join
+    # reads it twice (the lsh_candidate_pairs pattern — doc_count x 30
+    # rows of three small columns).
+    bands = (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{bb}x{r}").alias("config"),
+                            F.lit(band).alias("band_no"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{band * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            ).alias("band_val"),
+                        )
+                        for bb, r in _BT_CONFIGS
+                        for band in range(bb)
+                    ]
                 )
-            )
-    bands = band_frames[0]
-    for fr in band_frames[1:]:
-        bands = bands.unionByName(fr)
+            ).alias("b"),
+        )
+        .select("doc_id", "b.config", "b.band_no", "b.band_val")
+        .localCheckpoint(eager=False)
+    )
     ba, bbb = bands.alias("x"), bands.alias("y")
     cand = (
         ba.join(
