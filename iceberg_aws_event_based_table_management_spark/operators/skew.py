@@ -107,6 +107,121 @@ def salted_join(
     return out.drop("_salt")
 
 
+def _range_ranked(df: DataFrame, order_cols: list, partitions: int | None):
+    """Shared first half of the global-rank device: range-partition on
+    the order columns, rank locally, and compute the per-partition
+    cumulative offsets as a `partitions`-row broadcastable frame.
+
+    Returns (local, offs): `local` carries `_pid` (range-partition id)
+    and `_lrn` (rank within the partition under `order_cols`); `offs`
+    carries one row per non-empty partition with `_off` (rows in all
+    earlier partitions) and `_n` (total rows).  The offset window runs
+    over AT MOST `partitions` count rows — bounded metadata, never
+    data — which is what makes the device safe where a bare
+    `Window.orderBy(...)` (one task sorting the whole relation) is
+    not.  The `_pid` order column doubles as the plan-sweep sentinel:
+    tests/test_plan_sweep.py exempts unpartitioned window nodes that
+    order on `_pid` because they can only be this bounded pass.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    keyed = df.repartitionByRange(partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = keyed.withColumn("_lrn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("_n"),
+    )
+    return local, offs
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    rn_col: str = "rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact `row_number() OVER (ORDER BY ...)` WITHOUT the
+    single-partition sort.  The bare window form funnels the whole
+    relation through ONE task (Exchange SinglePartition -> Sort ->
+    Window) — fine at test scale, a stall-then-OOM at 100 TB.  This
+    computes the identical rank distributedly: range-partition on the
+    order columns, rank locally (~n/partitions rows per task), add the
+    broadcast cumulative count of earlier partitions.
+
+    Exact-parity caveat shared with the window form: ranks are unique
+    only when `order_cols` is a total (unique) order; rows tied on the
+    FULL key get arbitrary relative rank in either formulation.
+
+    At 100 TB: 2 bounded shuffles (range + pid-hash for the counts)
+    and a `partitions`-row broadcast — no stage holds more than
+    ~n/partitions rows.
+    """
+    local, offs = _range_ranked(df, order_cols, partitions)
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off", "_n")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    cum_col: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact running `sum(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)` without the single-partition sort — the same
+    decomposition as global_row_number but carrying per-partition
+    VALUE totals instead of row counts: range-partition on the order
+    columns, local running sum per partition, add the broadcast sum of
+    all earlier partitions' totals.
+
+    Ties on a non-total `order_cols` are frame-sensitive in the window
+    form too (ROWS frames split ties arbitrarily); pass a total order
+    for engine-exact parity.  The value column must be an
+    overflow-safe type for a FULL-relation sum (cast to long/decimal
+    upstream) — the device sums every row's value into `_n`-like
+    partition totals exactly like the window form would.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    keyed = df.repartitionByRange(partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = keyed.withColumn("_lcum", F.sum(value_col).over(w_local))
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_voff")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(cum_col, F.col("_lcum") + F.col("_voff"))
+        .drop("_pid", "_lcum", "_voff")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     n_buckets: int,
@@ -138,23 +253,8 @@ def global_ntile(
     At 100 TB this is 2 bounded shuffles (range + pid-hash) and a
     `partitions`-row broadcast — no stage ever holds more than
     ~n/partitions rows."""
-    from pyspark.sql import Window
+    local, offs = _range_ranked(df, order_cols, partitions)
 
-    spark = df.sparkSession
-    if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism * 2
-    keyed = df.repartitionByRange(partitions, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = keyed.withColumn("_lrn", F.row_number().over(w_local))
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_c"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_c").over(Window.partitionBy()).alias("_n"),
-    )
     def intdiv(a, b):
         # exact for nonnegative longs: (a - a mod b) is a multiple of
         # b, and an integer-valued double quotient <= 2^53 is exact —

@@ -771,6 +771,77 @@ def load() -> None:
         "vocab_coverage_curve",
     ]
 
+    # ROUND-14 PLAN (authored in round 13's close, per the r13 verdict
+    # #4): the SEVENTH fresh canary sample = the 50 STALEST grades on
+    # the whole cumulative ledger (computed from CORRECTNESS_r01-r13
+    # latest-grade rounds) — finally including the three r2-era
+    # grades every prior rotation missed (agg_conditional,
+    # composite_large_volume_customers, sort_compaction_order — the
+    # last of which gets its fresh grade ON ITS NEW range-partitioned
+    # plan this round), all 19 r3 greens, all 16 r4 greens, and 12 of
+    # the 19 r5 greens (the 7 held back — bloom_membership_audit,
+    # corpus_mixture_apply, curriculum_interleave, dedup_near_verified,
+    # dedup_simhash_buckets, dedup_token_savings, split_train_val_test
+    # — have close family siblings in the sample).  After this window
+    # no grade on the ledger is older than r5; round 15 should rotate
+    # again (the r5 holds + r6 cohort lead).
+    canaries_r14 = [
+        # r2 grades — the three staleness outliers on the entire ledger
+        "agg_conditional",
+        "composite_large_volume_customers",
+        "sort_compaction_order",
+        # r3 grades (all 19)
+        "agg_pivot_status_matrix",
+        "ann_topk_ivf",
+        "ann_topk_lsh",
+        "dedup_embedding_neardup",
+        "filter_correlated_exists",
+        "multimodal_binary_meta",
+        "multimodal_feature_extract",
+        "multimodal_frame_sample",
+        "sample_deterministic",
+        "scalar_datetime_suite",
+        "scalar_math_suite",
+        "scalar_regex_suite",
+        "scalar_string_suite",
+        "setop_intersect_keys",
+        "source_csv_roundtrip",
+        "source_orc_roundtrip",
+        "text_lang_id",
+        "topk_per_group",
+        "udaf_weighted_avg",
+        # r4 grades (all 16)
+        "changelog_cdc_diff",
+        "commit_filter",
+        "commit_threshold_trigger",
+        "commits_since_last_replace",
+        "config_prefix_select",
+        "join_asof_latest_snapshot",
+        "maintenance_expire_snapshots",
+        "rollup_hypertable_cascade",
+        "snapshot_lineage_scan",
+        "snapshot_time_travel",
+        "stream_dedup_event_ids",
+        "stream_stateful_trigger",
+        "stream_watermark_latedrop",
+        "table_lookup_join",
+        "udf_tablename_parse_parity",
+        "window_lag_commit_gap",
+        # r5 grades (12 of 19, family-diverse)
+        "audit_k_anonymity",
+        "corpus_mixture_weights",
+        "dedup_near_candidates",
+        "embedding_normalize_quantize",
+        "events_scan",
+        "kmeans_assign_step",
+        "pack_sequences_token_budget",
+        "profile_table_stats",
+        "shard_assignment_balanced",
+        "text_repetition_stats",
+        "wap_publish_gate",
+        "window_forward_fill",
+    ]
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
@@ -808,7 +879,15 @@ def load() -> None:
         | set(staged_new_r12)
         | set(reoracled_r9)
     )
-    if not set(staged_new_r11) - green:
+    ledger = registry.driver_latest_grade_round()
+    if all(ledger.get(n, 0) >= 13 for n in canaries_r13):
+        # ROUND-14 REGIME: the r13 canary sample has been driver-graded
+        # (ledger fact, not just cumulative green — no staged-newcomer
+        # generation is left to discriminate rounds, so the flip keys
+        # off driver_latest_grade_round).  The seventh fresh canary
+        # sample — the ledger's 50 stalest — IS the window.
+        _flip(canaries_r14, "round-14", backlog)
+    elif not set(staged_new_r11) - green:
         # ROUND-13 REGIME: the r12 window has been driver-graded (every
         # round-11-staged newcomer green).  No round-12 registrations
         # exist (§2 frozen), so the sixth fresh canary sample IS the

@@ -110,16 +110,23 @@ def compaction_rowcount_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
 def sort_compaction_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: sort-strategy rewrite order — the globally sorted layout
     (`strategy=sort`, sort_order, EMRSparkUtil.java:118-124) captured
-    as an explicit write_order rank.  In the physical rewrite this is
-    repartitionByRange + sortWithinPartitions (range-partitioned global
-    sort — no single-node bottleneck)."""
+    as an explicit write_order rank, computed the way the physical
+    rewrite runs it: range-partition on the sort order + per-partition
+    rank + broadcast cumulative offsets (operators/skew.
+    global_row_number) — no single-node sort.  The r13 sf10 smoke
+    measured the old bare `row_number() OVER (ORDER BY ...)` form
+    funnelling ~60M filtered rows through ONE task (18.5 s, the exact
+    WindowExec-without-partition shape the plan sweep now bans)."""
+    from ..operators.skew import global_row_number
+
     li = io.table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
     )
-    w = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    return li.select(
-        "l_orderkey", "l_linenumber", "l_shipdate", F.row_number().over(w).alias("write_order")
-    )
+    return global_row_number(
+        li.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "write_order",
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "write_order")
 
 
 def _zorder_oracle() -> str:

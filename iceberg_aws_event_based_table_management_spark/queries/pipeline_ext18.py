@@ -497,11 +497,12 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
 
     Scale shape: one groupBy(custkey); the max-date anchor is a
-    1-row broadcast; three global NTILEs are single-partition windows
-    over customer-count rows — at warehouse scale swap to percent_rank
-    over range partitioning (same scores, distributed sort), which is
-    why the scoring is expressed on the aggregated frame, never the
-    raw orders."""
+    1-row broadcast; the three quintile scores run through
+    operators/skew.global_ntile (range-partition + local rank +
+    broadcast offsets — two bounded shuffles each, never a
+    single-partition sort), so the scoring stays distributed at any
+    customer count.  The scoring is expressed on the aggregated
+    frame, never the raw orders."""
     orders = io.table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -520,20 +521,19 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    scored = anchored.select(
-        "*",
-        F.ntile(5)
-        .over(Window.orderBy("recency_days", "custkey"))
-        .cast("long")
-        .alias("r_score_inv"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "custkey"))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "custkey"))
-        .cast("long")
-        .alias("m_score"),
+    from ..operators.skew import global_ntile
+
+    scored = global_ntile(anchored, 5, ["recency_days", "custkey"], "r_score_inv")
+    scored = global_ntile(scored, 5, ["frequency", "custkey"], "f_score")
+    scored = global_ntile(scored, 5, ["monetary", "custkey"], "m_score")
+    scored = scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_score_inv").cast("long").alias("r_score_inv"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
     )
     r_score = (F.lit(6) - F.col("r_score_inv")).cast("long")
     return scored.select(

@@ -847,9 +847,11 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     float ever decides a class; output counts and cents are exact.
 
     Scale shape: two part-keyed rollups (both map-side combinable);
-    the ABC cumulative window's global sort over parts is the
-    documented E175 pattern (range-partitioned sort at scale); the
-    matrix is 9 rows."""
+    the ABC cumulative-revenue ranking runs through operators/skew.
+    global_cumsum (range-partition on (cents DESC, partkey) + local
+    running sum + broadcast partition offsets) — the r13 sf10 smoke
+    measured the old unpartitioned window form at 106.9 s with every
+    part row through one task; the matrix is 9 rows."""
     li = io.table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("cents"))
@@ -869,11 +871,10 @@ def abc_xyz_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sqq"),
     )
     tot = rev.agg(F.sum("cents").cast("long").alias("tot"))
-    wcum = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    abc = rev.select(
-        "l_partkey", "cents", F.sum("cents").over(wcum).alias("cum")
+    from ..operators.skew import global_cumsum
+
+    abc = global_cumsum(
+        rev, [F.desc("cents"), F.col("l_partkey")], "cents", "cum"
     ).crossJoin(F.broadcast(tot))
     cv_num = _no_silent_overflow(
         (F.col("w").cast(dec) * F.col("sqq") - F.col("s") * F.col("s")).cast(dec),

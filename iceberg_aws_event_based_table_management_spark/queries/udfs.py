@@ -9,7 +9,7 @@ row-at-a-time Python.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -103,20 +103,59 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udtf_binpack_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C48: grouped-map applyInPandas — the binpack planner as a
-    per-table pandas function (imperative cumsum), provably identical
-    to the declarative window formulation (C26/B1).  The groupBy key
-    bounds each pandas batch to one table's file list — metadata-scale,
-    safe at 100 TB."""
+    pandas function (imperative cumsum), provably identical to the
+    declarative window formulation (C26/B1).
+
+    The naive key choice — groupBy(table_name) — bounds each pandas
+    batch to one TABLE's file list: with the synthetic inventory
+    emitting one file row per lineitem row over 8 tables, the r13 sf10
+    smoke measured 207.6 s at exponent 1.51 (the registry's worst
+    curve), and at 100x one group is a ~750M-row pandas frame through
+    a single Python worker — an OOM, not a slowdown.  So the group key
+    is SUB-BUCKETED: range-partition on (table_name, size DESC, path)
+    — each table occupies a contiguous run of partition ids, in
+    bin-pack order — then applyInPandas per (table_name, _pid) group
+    computes the LOCAL running size, and the global cumulative-before
+    is local + the broadcast total of the table's earlier partitions
+    (the operators/skew offset device applied per table).  Every
+    pandas frame is bounded by a range partition (~n/partitions rows),
+    never by table size."""
 
     def plan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             ["file_size_bytes", "file_path"], ascending=[False, True]
         ).reset_index(drop=True)
-        cum_before = pdf["file_size_bytes"].cumsum() - pdf["file_size_bytes"]
-        pdf["group_id"] = (cum_before // 200_000_000).astype("int64")
-        return pdf[["table_name", "file_path", "group_id"]]
+        pdf["local_before"] = (
+            pdf["file_size_bytes"].cumsum() - pdf["file_size_bytes"]
+        ).astype("int64")
+        return pdf[["table_name", "file_path", "_pid", "local_before"]]
 
     files = io.files(spark, sf_dir).select("table_name", "file_path", "file_size_bytes")
-    return files.groupBy("table_name").applyInPandas(
-        plan, schema="table_name string, file_path string, group_id long"
+    parts = spark.sparkContext.defaultParallelism * 2
+    keyed = files.repartitionByRange(
+        parts, "table_name", F.desc("file_size_bytes"), "file_path"
+    ).withColumn("_pid", F.spark_partition_id())
+    local = keyed.groupBy("table_name", "_pid").applyInPandas(
+        plan,
+        schema="table_name string, file_path string, _pid int, local_before long",
+    )
+    totals = keyed.groupBy("table_name", "_pid").agg(
+        F.sum("file_size_bytes").alias("_t")
+    )
+    w_off = (
+        Window.partitionBy("table_name")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "table_name",
+        "_pid",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return local.join(F.broadcast(offs), ["table_name", "_pid"]).select(
+        "table_name",
+        "file_path",
+        F.floor((F.col("local_before") + F.col("_off")) / F.lit(200_000_000))
+        .cast("long")
+        .alias("group_id"),
     )

@@ -111,6 +111,52 @@ def driver_green_names(records: list[dict[str, dict]] | None = None) -> set[str]
     return green
 
 
+def driver_latest_grade_round(max_round: int | None = None) -> dict[str, int]:
+    """name -> the highest round number whose CORRECTNESS_r*.json
+    contains ANY grade row for it (green or not).  The grading-window
+    regime flips key off this ledger when no staged-newcomer set is
+    left to discriminate rounds (every generation was consumed by r13):
+    'was the r13 canary sample actually graded in round >= 13' is a
+    fact only the per-round files carry, not the cumulative green set.
+    Unparseable records are skipped with the same warning discipline
+    as driver_green_names.
+    """
+    import glob
+    import json
+    import os
+    import re
+    import warnings
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            # test hook: reconstruct an earlier round's ledger view,
+            # mirroring driver_green_names' records injection
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError) as exc:
+            warnings.warn(
+                f"unparseable driver correctness record {path!r}: {exc}; "
+                "excluded from the grade-freshness ledger",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            continue
+        if not isinstance(rec, dict):
+            continue
+        for name, row in rec.items():
+            if isinstance(row, dict):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def rotate_graded(green: set[str], *, pinned: frozenset[str] | set[str] = frozenset()) -> None:
     """Self-maintaining grading rotation: stably demote every query
     that already has a green driver row, so the first-50 window always

@@ -102,12 +102,21 @@ def _real_records(max_round: int | None = None) -> list[dict]:
     return records
 
 
-def _expected_window(green: set[str]) -> list[str]:
+def _expected_window(green: set[str], ledger: dict[str, int] | None = None) -> list[str]:
     """Mirror of load()'s regime selection, derived from a green set —
     NOT from a frozen round number.  The r8 verdict's headline defect
     was a regime assertion hard-coded to round 8's composition: the
     driver mutates the records directory every round, so any frozen
-    expectation is guaranteed to go stale the moment it succeeds."""
+    expectation is guaranteed to go stale the moment it succeeds.
+
+    From round 14 on the discriminator is the grade-freshness LEDGER
+    (driver_latest_grade_round) — every staged-newcomer generation was
+    consumed by r13, so 'was the r13 canary sample graded in a round
+    >= 13' is the only fact that separates r14+ from r13."""
+    if ledger is None:
+        ledger = registry.driver_latest_grade_round()
+    if all(ledger.get(n, 0) >= 13 for n in _hand_authored("canaries_r13")):
+        return _hand_authored("canaries_r14")
     staged_r8 = _hand_authored("staged_new_r8")
     staged_r9 = _hand_authored("staged_new_r9")
     staged_r10 = _hand_authored("staged_new_r10")
@@ -177,6 +186,15 @@ def test_r8_regime_with_r7_records(loaded, monkeypatch):
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=records)
     )
+    # pre-r13 reconstruction: cap the grade-freshness ledger the same
+    # way the record set is capped, so the round-14 regime (which keys
+    # off "canaries_r13 graded in round >= 13") cannot fire
+    real_ledger = registry.driver_latest_grade_round
+    monkeypatch.setattr(
+        registry,
+        "driver_latest_grade_round",
+        lambda max_round=None: real_ledger(max_round=12),
+    )
     snapshot = dict(registry.QUERIES)
     monkeypatch.setattr(q, "_LOADED", False)
     try:
@@ -221,6 +239,15 @@ def test_r9_flip_after_tail_greens(loaded, monkeypatch):
     real_fn = registry.driver_green_names
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=records)
+    )
+    # pre-r13 reconstruction: cap the grade-freshness ledger the same
+    # way the record set is capped, so the round-14 regime (which keys
+    # off "canaries_r13 graded in round >= 13") cannot fire
+    real_ledger = registry.driver_latest_grade_round
+    monkeypatch.setattr(
+        registry,
+        "driver_latest_grade_round",
+        lambda max_round=None: real_ledger(max_round=12),
     )
     snapshot = dict(registry.QUERIES)
     monkeypatch.setattr(q, "_LOADED", False)
@@ -304,6 +331,15 @@ def test_r10_flip_after_staged_r8_greens(loaded, monkeypatch):
     real_fn = registry.driver_green_names
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=records)
+    )
+    # pre-r13 reconstruction: cap the grade-freshness ledger the same
+    # way the record set is capped, so the round-14 regime (which keys
+    # off "canaries_r13 graded in round >= 13") cannot fire
+    real_ledger = registry.driver_latest_grade_round
+    monkeypatch.setattr(
+        registry,
+        "driver_latest_grade_round",
+        lambda max_round=None: real_ledger(max_round=12),
     )
     snapshot = dict(registry.QUERIES)
     monkeypatch.setattr(q, "_LOADED", False)
@@ -395,6 +431,15 @@ def test_r12_flip_after_staged_r10_greens(loaded, monkeypatch):
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=records)
     )
+    # pre-r13 reconstruction: cap the grade-freshness ledger the same
+    # way the record set is capped, so the round-14 regime (which keys
+    # off "canaries_r13 graded in round >= 13") cannot fire
+    real_ledger = registry.driver_latest_grade_round
+    monkeypatch.setattr(
+        registry,
+        "driver_latest_grade_round",
+        lambda max_round=None: real_ledger(max_round=12),
+    )
     snapshot = dict(registry.QUERIES)
     monkeypatch.setattr(q, "_LOADED", False)
     try:
@@ -463,6 +508,15 @@ def test_r13_flip_after_staged_r11_greens(loaded, monkeypatch):
     real_fn = registry.driver_green_names
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=records)
+    )
+    # pre-r13 reconstruction: cap the grade-freshness ledger the same
+    # way the record set is capped, so the round-14 regime (which keys
+    # off "canaries_r13 graded in round >= 13") cannot fire
+    real_ledger = registry.driver_latest_grade_round
+    monkeypatch.setattr(
+        registry,
+        "driver_latest_grade_round",
+        lambda max_round=None: real_ledger(max_round=12),
     )
     snapshot = dict(registry.QUERIES)
     monkeypatch.setattr(q, "_LOADED", False)
@@ -555,6 +609,12 @@ def test_r8_flip_warns_on_unexpected_backlog_name(loaded, monkeypatch):
     monkeypatch.setattr(
         registry, "driver_green_names", lambda recs=None: real_fn(records=[synthetic])
     )
+    real_ledger = registry.driver_latest_grade_round
+    monkeypatch.setattr(
+        registry,
+        "driver_latest_grade_round",
+        lambda max_round=None: real_ledger(max_round=7),
+    )
     snapshot = dict(registry.QUERIES)
     monkeypatch.setattr(q, "_LOADED", False)
     try:
@@ -602,3 +662,70 @@ def test_demote_unknown_name_warns_not_crashes(loaded):
     finally:
         registry.QUERIES.clear()
         registry.QUERIES.update(snapshot)
+
+
+def test_canaries_r14_all_registered_and_fresh(loaded):
+    """The round-14 canary sample must be registered, duplicate-free,
+    exactly window-sized (no staged generation remains), driver-green
+    already, and — its whole reason to exist (r13 verdict #4) — the
+    50 STALEST grades on the cumulative ledger as of r13, including
+    the three r2-era grades every prior rotation missed."""
+    canaries_r14 = _hand_authored("canaries_r14")
+    assert len(canaries_r14) == 50
+    assert len(set(canaries_r14)) == 50
+    green = registry.driver_green_names()
+    for n in canaries_r14:
+        assert n in registry.QUERIES, f"unregistered r14 canary {n}"
+        assert n in green, f"r14 canary {n} has no driver-green record"
+    for must in (
+        "agg_conditional",
+        "composite_large_volume_customers",
+        "sort_compaction_order",
+    ):
+        assert must in canaries_r14, f"r2-era grade {must} missing from r14 window"
+    # the sample IS the ledger's stale frontier: every grade from
+    # r2-r4 is in, and the remaining slots hold r5 grades (the
+    # specific 12-of-19 is a hand-made family-diversity choice, so
+    # only the round boundary is pinned).  Pinned to the r13 view so
+    # CORRECTNESS_r14 landing (which refreshes these exact grades)
+    # advances the ledger without reddening this check.
+    ledger = registry.driver_latest_grade_round(max_round=13)
+    through_r4 = {n for n, r in ledger.items() if r <= 4}
+    missing = through_r4 - set(canaries_r14)
+    assert not missing, f"pre-r5 grades left out of the r14 window: {sorted(missing)}"
+    extras = set(canaries_r14) - through_r4
+    assert all(ledger.get(n) == 5 for n in extras), (
+        "r14 filler canaries must come from the r5 cohort: "
+        f"{sorted(n for n in extras if ledger.get(n) != 5)}"
+    )
+
+
+def test_r14_flip_after_r13_window_graded(loaded, monkeypatch):
+    """Pin the ROUND-14 regime against the r13 record view: with the
+    r13 canary sample graded in round 13 (a ledger fact), the seventh
+    fresh canary sample IS the window.  Records and ledger both capped
+    at 13 so future driver rounds cannot redden this reconstruction."""
+    import iceberg_aws_event_based_table_management_spark.queries as q
+
+    records = _real_records(max_round=13)
+    real_fn = registry.driver_green_names
+    monkeypatch.setattr(
+        registry, "driver_green_names", lambda recs=None: real_fn(records=records)
+    )
+    real_ledger = registry.driver_latest_grade_round
+    monkeypatch.setattr(
+        registry,
+        "driver_latest_grade_round",
+        lambda max_round=None: real_ledger(max_round=13),
+    )
+    snapshot = dict(registry.QUERIES)
+    monkeypatch.setattr(q, "_LOADED", False)
+    try:
+        q.load()
+        names = list(registry.QUERIES)
+        canaries = _hand_authored("canaries_r14")
+        assert names[:50] == canaries
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(snapshot)
+        monkeypatch.setattr(q, "_LOADED", True)

