@@ -87,8 +87,9 @@ def lift_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parenthesized expression, floored to ppm.
 
     Scale shape: the outcome flag is a semi-join (orders -> exists);
-    the NTILE's global sort is the documented E175 pattern (swap for
-    percent_rank over range partitioning at scale); the curve itself
+    the deciles run through operators/skew.global_ntile
+    (range-partition + local rank + broadcast offsets — never a
+    single-partition sort over the customer frame); the curve itself
     is a 10-row window."""
     c = io.table(spark, sf_dir, "customer")
     o = io.table(spark, sf_dir, "orders").select("o_custkey").distinct()
@@ -100,10 +101,11 @@ def lift_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("pos"),
         )
     )
-    deciled = scored.select(
-        "pos",
-        F.ntile(10).over(Window.orderBy(F.desc("score"), "c_custkey")).alias("decile"),
-    )
+    from ..operators.skew import global_ntile
+
+    deciled = global_ntile(
+        scored, 10, [F.desc("score"), F.col("c_custkey")], "decile"
+    ).select("pos", "decile")
     per = deciled.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"), F.sum("pos").cast("long").alias("npos")
     )

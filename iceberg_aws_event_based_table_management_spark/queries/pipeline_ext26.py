@@ -411,8 +411,11 @@ def sessionization_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with full tiebreaks; the one mean crosses IEEE once, floored.
 
     Scale shape: per-user windows for islands; the percentile ranks
-    are global sorts over SESSION-count rows (not events) — the E175
-    pattern, range-partitioned at scale; output is one row."""
+    over the SESSION-count frames run through operators/skew.
+    global_row_number (range-partition + local rank + broadcast
+    offsets — never a single-partition sort; the r13 sf10 smoke had
+    the old unpartitioned form at 45.1 s), with the population counts
+    as broadcast 1-row aggregates; output is one row."""
     ev = io.table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = (io.epoch_us(F.col("ts")) - io.epoch_us(F.lag("ts").over(wu))) / 1_000_000
@@ -440,18 +443,19 @@ def sessionization_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur_s"),
         F.count("*").cast("long").alias("n_events"),
     )
-    dur_ranked = sessions.select(
-        "dur_s",
-        F.row_number()
-        .over(Window.orderBy("dur_s", "user_id", "session_no"))
-        .alias("r"),
-        F.count("*").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
+    from ..operators.skew import global_row_number
+
+    dur_ranked = global_row_number(
+        sessions.select("dur_s", "user_id", "session_no"),
+        ["dur_s", "user_id", "session_no"],
+        "r",
+    ).crossJoin(F.broadcast(sessions.agg(F.count("*").cast("long").alias("n"))))
+    gap_rows = islands.filter(F.col("session_gap_s").isNotNull()).select(
+        "session_gap_s", "user_id", "ts"
     )
-    gaps = islands.filter(F.col("session_gap_s").isNotNull()).select(
-        "session_gap_s",
-        F.row_number().over(Window.orderBy("session_gap_s", "user_id", "ts")).alias("r"),
-        F.count("*").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
-    )
+    gaps = global_row_number(
+        gap_rows, ["session_gap_s", "user_id", "ts"], "r"
+    ).crossJoin(F.broadcast(gap_rows.agg(F.count("*").cast("long").alias("n"))))
 
     def pick(df: DataFrame, col: str, q: float, name: str) -> DataFrame:
         # a global aggregate, not filter+select: on an EMPTY population

@@ -268,3 +268,134 @@ def test_no_unbounded_global_sorts(spark, sf_dir, qmap):
                 bad.append(name)
                 break
     assert not bad, f"unbounded global sort in: {bad}"
+
+
+# Queries that legitimately keep an UNPARTITIONED window node (ordered
+# rank/cumsum with no PARTITION BY, or an all-rows global frame): every
+# entry's window input is a BOUNDED frame — calendar-bounded day
+# series, value-domain grids, |sources|/|tables|/k-row metadata, or
+# fixed-size curve/bin frames — never a data-proportional relation.
+# The r14 triage of the initial sweep found two true positives
+# (lift_curve_deciles' customer-proportional NTILE and
+# sessionization_gap_stats' session-proportional percentile ranks —
+# both now on operators/skew's range-partitioned devices) on top of
+# the four the r13 sf10 smoke had already measured (abc_xyz_inventory,
+# sort_compaction_order, rfm_customer_segments, udtf_binpack_per_table
+# — fixed the same way); everything below was reviewed and is bounded.
+UNPART_WINDOW_OK: dict[str, str] = {
+    "ann_ivfpq_recall_audit": "per-query candidate lists (k x queries audit frame)",
+    "apportion_token_budget": "|sources|-row budget frame",
+    "bag_bootstrap_ci": "100-replica stats frame",
+    "bh_fdr_correction": "|sources|-row p-value frame",
+    "changepoint_binary_segmentation": "calendar-bounded day series",
+    "classifier_auc_exact": "ppm score grid (<= 2e6 keys regardless of corpus)",
+    "cumulative_unique_users": "retention-bounded day spine",
+    "curriculum_interleave": "|sources|-row source index",
+    "dedup_semantic_semdedup": "k-row centroid/cluster-id frame",
+    "drift_chi_square_gate": "bin metadata",
+    "embedding_pq_codes": "per-block codebook frame (k rows)",
+    "emd_lengths": "value-domain length grid",
+    "fair_share_allocation": "|tables|-row capacity frame",
+    "gini_impurity_split_scan": "<= 50-row split grid",
+    "hurst_exponent_rs": "calendar-bounded day series (R/S block sizes)",
+    "isotonic_calibration_pav": "210-row bin-interval lattice",
+    "kl_divergence_sources": "decile-bin metadata",
+    "kmeans_assign_step": "k-row centroid frame",
+    "lift_curve_deciles": "10-row decile-curve cumulative (the customer NTILE is on the skew device)",
+    "ks_two_sample_lengths": "value-domain length grid",
+    "ljung_box_q": "day-series lag frame",
+    "lorenz_curve_points": "20-point curve frame",
+    "mannwhitney_u_lengths": "value-grid rank identity (length domain)",
+    "matched_pairs_by_decile": "doc-count metadata pairs (r13 verdict: watch)",
+    "pack_sequences_token_budget": "doc-count metadata pairs (scale alt documented)",
+    "page_hinkley_drift": "calendar-bounded day series",
+    "pareto_skyline_customers": "frontier-sized survivors (quantile-bucket pruned)",
+    "quantile_histogram_sketch": "~120-bin cumulative",
+    "quantile_normalize_lengths": "value-domain CDF grids",
+    "rank_movers_nations": "25-nation frame",
+    "ratio_to_parent_revenue": "region/nation rollup frame",
+    "rrf_fuse_retrieval": "k-bounded fused candidate lists",
+    "runs_test_daily": "calendar-bounded day series",
+    "shard_assignment_balanced": "doc-count metadata pairs (r13 verdict: watch)",
+    "sort_global_topcustomers": "C28: the global sort IS the contract",
+    "spearman_daily_corr": "calendar-bounded day-series ranks",
+    "stratified_neyman_allocation": "|sources|-row allocation frame",
+    "survival_km_repurchase": "calendar-bounded event-time day frame",
+    "theil_u2_forecast": "calendar-bounded day series",
+    "tree_split_gini_quantity": "<= 50-row split grid",
+    "vocab_coverage_curve": "vocabulary types (metadata next to the corpus)",
+    "zipf_term_exponent": "vocabulary types (metadata next to the corpus)",
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a physical-plan node line."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+    return out
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window/WindowGroupLimit nodes with an EMPTY partition spec —
+    the Exchange SinglePartition shape that funnels the node's whole
+    input through one task.  Disambiguation: `Window [exprs], [G2]`
+    is partitioned-without-order when G2 is a partition spec (no
+    ASC/DESC) and unpartitioned-with-order when G2 is an order spec.
+    Order specs on `_pid` are the operators/skew offset pass — a
+    <= `partitions`-row bounded frame by construction — and exempt."""
+    out = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-:* ")
+        if s.startswith("Window "):
+            g = _bracket_groups(s[len("Window "):])
+            if len(g) >= 3:
+                continue
+            if len(g) == 2:
+                spec = g[1]
+                if " ASC" not in spec and " DESC" not in spec:
+                    continue  # [exprs], [partSpec]: partitioned, unordered frame
+                if spec.lstrip().startswith("_pid"):
+                    continue  # skew-device offset pass (bounded)
+            out.append(s[:160])
+        elif s.startswith("WindowGroupLimit "):
+            g = _bracket_groups(s[len("WindowGroupLimit "):])
+            if g and g[0].strip() == "":
+                out.append(s[:160])
+    return out
+
+
+def test_no_unpartitioned_windows_over_data(spark, sf_dir, qmap):
+    """The r13-verdict incident class: a window with no PARTITION BY
+    over a data-proportional relation plans as Exchange
+    SinglePartition -> Sort -> Window — one task sorts (and holds)
+    the whole input, which the sf10 smoke measured at 15.9-207.6 s
+    across four queries and which becomes an OOM at 100 TB.  Every
+    registered batch query must either plan zero unpartitioned window
+    nodes (the operators/skew devices replace them with
+    range-partition + local rank + broadcast offsets, whose only
+    unpartitioned window orders on the `_pid` sentinel over a bounded
+    count frame) or carry a reviewed bounded-input allowlist entry."""
+    bad = {}
+    for name, fn in qmap.items():
+        if name in SKIP or name in UNPART_WINDOW_OK:
+            continue
+        hits = _unpartitioned_windows(_executed(fn(spark, sf_dir)))
+        if hits:
+            bad[name] = hits[0]
+    assert not bad, f"unpartitioned window over unreviewed input: {bad}"
