@@ -187,21 +187,25 @@ def knn_join(
             if n_chunks == 1
             else q_sel.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == c)
         )
-        qpd = chunk.toPandas()
-        if n_chunks == 1 and len(qpd) > max_broadcast_rows:
-            # The sizing count() above and this toPandas() are separate
-            # evaluations; on a NONDETERMINISTIC query side (sample /
-            # limit / unstable shuffle) the snapshot can exceed what
-            # the count saw.  The single-chunk path skips persist() (it
-            # does exactly one read), so enforce the documented memory
-            # bound here rather than broadcasting an over-cap matrix
-            # (r12 ADVICE) — same escalation contract as the
-            # max_chunks cap: that scale wants LSH/IVF.
+        # The sizing count() above and this pull are separate
+        # evaluations; on a NONDETERMINISTIC query side (sample /
+        # limit / unstable shuffle) the snapshot can exceed what the
+        # count saw — in the multi-chunk path too, since the count ran
+        # BEFORE persist() pinned the evaluation the chunks read.
+        # Pulling through limit(cap+1) bounds what the DRIVER ever
+        # materializes to cap+1 rows (r13 ADVICE: the old post-pull
+        # check fired only after the oversized toPandas() had already
+        # paid the spike) while returning every row of an in-cap
+        # chunk unchanged; overflow raises with the same escalation
+        # contract as the max_chunks cap — that scale wants LSH/IVF.
+        qpd = chunk.limit(max_broadcast_rows + 1).toPandas()
+        if len(qpd) > max_broadcast_rows:
             raise ValueError(
-                f"knn_join query snapshot has {len(qpd)} rows, above "
-                f"max_broadcast_rows={max_broadcast_rows} (the sizing "
-                "count saw fewer — nondeterministic query side?); use "
-                "ann_topk_lsh/ivf_search or raise max_broadcast_rows"
+                f"knn_join {'query snapshot' if n_chunks == 1 else f'chunk {c}'} "
+                f"exceeds max_broadcast_rows={max_broadcast_rows} (the "
+                "sizing count saw fewer — nondeterministic query "
+                "side?); use ann_topk_lsh/ivf_search or raise "
+                "max_broadcast_rows"
             )
         if len(qpd) == 0:
             continue

@@ -110,7 +110,8 @@ _ANCHOR_SAMPLE_MOD = 64
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_orderkey) AS exact_orders,
-           TRUE AS approx_within_bound
+           TRUE AS approx_within_bound,
+           'full' AS anchor_mode
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -152,10 +153,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned in tests/test_plans.py."""
     li = io.table(spark, sf_dir, "lineitem")
     n_rows = io.parquet_num_rows(sf_dir, "lineitem")
-    if n_rows is not None and n_rows > _EXACT_ANCHOR_MAX_ROWS:
+    sampled = n_rows is not None and n_rows > _EXACT_ANCHOR_MAX_ROWS
+    if sampled:
         li = li.filter(
             F.pmod(F.xxhash64("l_orderkey"), F.lit(_ANCHOR_SAMPLE_MOD)) == 0
         )
+    # r13 ADVICE: the sampled regime emits 1/64-slice counts that are
+    # not comparable to full-table runs; the anchor_mode column makes
+    # the regime explicit to consumers instead of silent
+    anchor_mode = f"sampled_1_{_ANCHOR_SAMPLE_MOD}" if sampled else "full"
     agg = (
         li.groupBy("l_returnflag")
         .agg(
@@ -170,6 +176,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("approx_orders") - F.col("exact_orders"))
             <= F.lit(0.05) * F.col("exact_orders")
         ).alias("approx_within_bound"),
+        F.lit(anchor_mode).alias("anchor_mode"),
     )
 
 

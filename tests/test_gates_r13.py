@@ -160,15 +160,33 @@ def test_split_estimator_honors_suffixed_conf(spark, sf_dir):
 def test_knn_join_single_chunk_recheck_raises(spark, monkeypatch):
     """If the sizing count undershoots (nondeterministic query side)
     and the snapshot exceeds max_broadcast_rows, the single-chunk path
-    must raise instead of broadcasting an over-cap matrix."""
+    must raise instead of broadcasting an over-cap matrix — AND the
+    driver-side pull itself must be bounded: the r13 ADVICE point was
+    that a post-pull check fires only after the oversized toPandas()
+    already materialized, so the pull now goes through limit(cap+1)
+    and the guard sees at most cap+1 rows regardless of snapshot
+    size."""
     rows = [(i, [float(i), 1.0]) for i in range(12)]
     q = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cands = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     # patch the CONCRETE class (pyspark.sql.classic) — the abstract
     # pyspark.sql.DataFrame base's count is overridden there
     monkeypatch.setattr(type(q), "count", lambda self: 5)
-    with pytest.raises(ValueError, match="above\\s+max_broadcast_rows"):
+    pulled = []
+    real_toPandas = type(q).toPandas
+
+    def spy_toPandas(self):
+        pdf = real_toPandas(self)
+        pulled.append(len(pdf))
+        return pdf
+
+    monkeypatch.setattr(type(q), "toPandas", spy_toPandas)
+    with pytest.raises(ValueError, match="exceeds\\s+max_broadcast_rows"):
         S.knn_join(q, cands, k=2, max_broadcast_rows=10)
+    assert pulled and max(pulled) <= 11, (
+        f"driver materialized {max(pulled)} rows — the limit(cap+1) "
+        "pre-pull bound is gone"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +223,11 @@ def test_approx_distinct_sampled_anchor_above_gate(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(eio, "parquet_num_rows", lambda *a, **k: 10**9)
     df = _approx_distinct(spark, sf_dir)
     assert "xxhash64" in _analyzed(df)
-    got = {r.l_returnflag: r.exact_orders for r in df.collect()}
+    rows = df.collect()
+    # r13 ADVICE: the regime must be explicit in the output — slice
+    # counts are not comparable to full-table counts
+    assert {r.anchor_mode for r in rows} == {"sampled_1_64"}
+    got = {r.l_returnflag: r.exact_orders for r in rows}
     li = eio.table(spark, sf_dir, "lineitem")
     expected = {
         r.l_returnflag: r.n

@@ -55,7 +55,29 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    # Session comes from tree A's factory (conf is identical across rounds).
+    # Session comes from tree A's factory.  The shared session is only
+    # a fair instrument if both trees would have BUILT the same
+    # session: if tree B changed session.py conf (shuffle partitions,
+    # AQE flags, ...), both variants silently run under A's conf and
+    # the A/B attributes a conf delta to code (r13 ADVICE).  Verify
+    # byte-identity of the two session factories up front.
+    import os
+
+    conf_identical = True
+    sess_files = {}
+    for label, tree in (("a", args.tree_a), ("b", args.tree_b)):
+        p = os.path.join(tree, PKG, "session.py")
+        with open(p, "rb") as fh:
+            sess_files[label] = fh.read()
+    if sess_files["a"] != sess_files["b"]:
+        conf_identical = False
+        print(
+            "WARNING: session.py differs between trees — the shared "
+            "session runs BOTH variants under tree A's conf; any conf "
+            "delta between the trees will be attributed to code. "
+            "Recorded as conf_identical=false in the payload.",
+            file=sys.stderr,
+        )
     qmap_a = load_tree(args.tree_a)
     from iceberg_aws_event_based_table_management_spark.session import get_spark
 
@@ -106,6 +128,8 @@ def main() -> None:
         "tree_a": args.tree_a,
         "tree_b": args.tree_b,
         "sf_dir": args.sf_dir,
+        "conf_identical": conf_identical,
+        "session_conf": dict(spark.sparkContext.getConf().getAll()),
         "results": results,
     }
     out = json.dumps(payload, indent=1)
