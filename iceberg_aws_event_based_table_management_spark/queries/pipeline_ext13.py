@@ -244,7 +244,14 @@ def max_concurrent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: 2 rows per event, one per-type partitioning serves
     the running sum and the argmax window; per-type state is the
-    boundary stream (E44's bound).  Pure int64."""
+    boundary stream (E44's bound).  Pure int64.  The event-type key
+    has BOUNDED CARDINALITY (~5), so parallelism tops out at |types|
+    and per-task state is events/|types| — a ceiling, not a blow-up
+    (r13 verdict: audit class).  The 100 TB form is the two-pass
+    carry-in decomposition operators/skew.global_cumsum implements
+    (range-partition WITHIN each type on t, local running sum, add
+    broadcast per-(type, partition) carry-in totals) — semantics
+    unchanged, per-task state drops to n/partitions."""
     ev = io.table(spark, sf_dir, "events").select(
         "event_type", io.epoch_us(F.col("ts")).alias("s")
     )
