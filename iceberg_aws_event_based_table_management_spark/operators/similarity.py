@@ -192,20 +192,25 @@ def knn_join(
         # limit / unstable shuffle) the snapshot can exceed what the
         # count saw — in the multi-chunk path too, since the count ran
         # BEFORE persist() pinned the evaluation the chunks read.
-        # Pulling through limit(cap+1) bounds what the DRIVER ever
-        # materializes to cap+1 rows (r13 ADVICE: the old post-pull
-        # check fired only after the oversized toPandas() had already
-        # paid the spike) while returning every row of an in-cap
-        # chunk unchanged; overflow raises with the same escalation
-        # contract as the max_chunks cap — that scale wants LSH/IVF.
-        qpd = chunk.limit(max_broadcast_rows + 1).toPandas()
-        if len(qpd) > max_broadcast_rows:
+        # Pulling through limit(bound+1) caps what the DRIVER ever
+        # materializes (r13 ADVICE: the old post-pull check fired only
+        # after the oversized toPandas() had already paid the spike)
+        # while returning every row of an in-bound chunk unchanged.
+        # The single-chunk bound is the cap itself; a hash chunk gets
+        # 2x slack because xxhash64-mod splitting is balanced only in
+        # expectation (n_chunks = ceil(n/cap) puts the mean chunk near
+        # cap, so ordinary variance may nudge one past it) — overflow
+        # past the slack still raises with the same escalation
+        # contract as the max_chunks cap: that scale wants LSH/IVF.
+        bound = max_broadcast_rows if n_chunks == 1 else 2 * max_broadcast_rows
+        qpd = chunk.limit(bound + 1).toPandas()
+        if len(qpd) > bound:
             raise ValueError(
                 f"knn_join {'query snapshot' if n_chunks == 1 else f'chunk {c}'} "
-                f"exceeds max_broadcast_rows={max_broadcast_rows} (the "
-                "sizing count saw fewer — nondeterministic query "
-                "side?); use ann_topk_lsh/ivf_search or raise "
-                "max_broadcast_rows"
+                f"exceeds {'max_broadcast_rows' if n_chunks == 1 else '2x max_broadcast_rows'}"
+                f"={bound} (the sizing count saw fewer — "
+                "nondeterministic query side?); use ann_topk_lsh/"
+                "ivf_search or raise max_broadcast_rows"
             )
         if len(qpd) == 0:
             continue
