@@ -842,6 +842,75 @@ def load() -> None:
         "window_forward_fill",
     ]
 
+    # ROUND-15 PLAN (authored in round 14, same discipline as every
+    # prior window: the next round's sample is staged the round
+    # before, conditioned on THIS round's window actually grading).
+    # The EIGHTH fresh canary sample = the post-r14 stale frontier:
+    # the 7 r5 holds, all 15 r6 greens, the 4 r7 holds, and 24 of the
+    # 34 r8 greens (the 10 held back — dedup_edit1_names,
+    # dedup_incremental_neardup, dedup_prefix_filter_pairs,
+    # dedup_segment_windows, dedup_simhash_hamming,
+    # similarity_threshold_pairs, rrf_fuse_retrieval, acf_daily_lags,
+    # pipeline_rag_corpus, emd_lengths — have close family siblings in
+    # the sample).  After this window grades, no ledger entry is older
+    # than r8; round 16 rotates the r8 holds + the r9/r10 cohorts.
+    canaries_r15 = [
+        # r5 holds from the r14 sample
+        "bloom_membership_audit",
+        "corpus_mixture_apply",
+        "curriculum_interleave",
+        "dedup_near_verified",
+        "dedup_simhash_buckets",
+        "dedup_token_savings",
+        "split_train_val_test",
+        # r6 greens (all 15)
+        "cdc_apply_tombstones",
+        "composite_nation_trade_volume",
+        "dedup_containment_pairs",
+        "event_cohort_retention",
+        "event_transition_matrix",
+        "files_skipping_estimate",
+        "graph_triangle_census",
+        "join_key_skew_diagnosis",
+        "mor_deletes_read",
+        "pagerank_integer_bipartite",
+        "partition_evolution_scan",
+        "rolling_active_users",
+        "scd2_point_in_time_join",
+        "table_freshness_sla",
+        "two_tier_manifest_skipping",
+        # r7 holds from the r13 sample
+        "cumulative_unique_users",
+        "cusum_changepoint_daily",
+        "ewma_daily_smoothing",
+        "ohlc_daily_value",
+        # r8 greens (24 of 34, family-diverse)
+        "agg_pricing_summary",
+        "ann_ivfpq_recall_audit",
+        "binpack_group_assignment",
+        "bm25_topk_retrieval",
+        "composite_shipping_priority",
+        "correlation_event_series",
+        "dedup_cluster_survivors",
+        "dedup_exact_documents",
+        "dedup_ngram_jaccard",
+        "dedup_semantic_semdedup",
+        "event_funnel_conversion",
+        "explode_unnest_tokens",
+        "join_inner_orders_customer",
+        "label_noise_knn_consensus",
+        "linkage_blocked_nearest_name",
+        "merge_upsert_orders",
+        "pipeline_training_corpus",
+        "quantile_histogram_sketch",
+        "refs_aware_snapshot_expiry",
+        "scd2_user_state_intervals",
+        "should_optimize_decision",
+        "similarity_knn_join",
+        "sketch_heavy_hitters_cms",
+        "split_cluster_holdout",
+    ]
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
@@ -880,7 +949,11 @@ def load() -> None:
         | set(reoracled_r9)
     )
     ledger = registry.driver_latest_grade_round()
-    if all(ledger.get(n, 0) >= 13 for n in canaries_r13):
+    if all(ledger.get(n, 0) >= 14 for n in canaries_r14):
+        # ROUND-15 REGIME: the r14 canary sample has been driver-graded
+        # (ledger fact); the eighth fresh sample IS the window.
+        _flip(canaries_r15, "round-15", backlog)
+    elif all(ledger.get(n, 0) >= 13 for n in canaries_r13):
         # ROUND-14 REGIME: the r13 canary sample has been driver-graded
         # (ledger fact, not just cumulative green — no staged-newcomer
         # generation is left to discriminate rounds, so the flip keys

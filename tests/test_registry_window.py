@@ -115,6 +115,8 @@ def _expected_window(green: set[str], ledger: dict[str, int] | None = None) -> l
     >= 13' is the only fact that separates r14+ from r13."""
     if ledger is None:
         ledger = registry.driver_latest_grade_round()
+    if all(ledger.get(n, 0) >= 14 for n in _hand_authored("canaries_r14")):
+        return _hand_authored("canaries_r15")
     if all(ledger.get(n, 0) >= 13 for n in _hand_authored("canaries_r13")):
         return _hand_authored("canaries_r14")
     staged_r8 = _hand_authored("staged_new_r8")
@@ -729,3 +731,34 @@ def test_r14_flip_after_r13_window_graded(loaded, monkeypatch):
         registry.QUERIES.clear()
         registry.QUERIES.update(snapshot)
         monkeypatch.setattr(q, "_LOADED", True)
+
+
+def test_canaries_r15_staged_and_fresh(loaded):
+    """The round-15 sample (authored in round 14, staging discipline):
+    registered, duplicate-free, window-sized, driver-green, equal to
+    the post-r14 stale frontier (ledger capped at r13 plus the r14
+    window simulated green: everything left at r5-r7 is in, fillers
+    come from the r8 cohort), and inert until CORRECTNESS_r14 lands —
+    today's window must still be canaries_r14."""
+    canaries_r15 = _hand_authored("canaries_r15")
+    canaries_r14 = _hand_authored("canaries_r14")
+    assert len(canaries_r15) == 50
+    assert len(set(canaries_r15)) == 50
+    assert not set(canaries_r15) & set(canaries_r14)
+    green = registry.driver_green_names()
+    for n in canaries_r15:
+        assert n in registry.QUERIES, f"unregistered r15 canary {n}"
+        assert n in green, f"r15 canary {n} has no driver-green record"
+    ledger = registry.driver_latest_grade_round(max_round=13)
+    for n in canaries_r14:
+        ledger[n] = 14  # the state the r14 grading run creates
+    through_r7 = {n for n, r in ledger.items() if r <= 7}
+    missing = through_r7 - set(canaries_r15)
+    assert not missing, f"r5-r7 grades left out of the r15 window: {sorted(missing)}"
+    extras = set(canaries_r15) - through_r7
+    assert all(ledger.get(n) == 8 for n in extras), (
+        "r15 filler canaries must come from the r8 cohort: "
+        f"{sorted(n for n in extras if ledger.get(n) != 8)}"
+    )
+    # inert today: the live window is still the r14 sample
+    assert list(registry.QUERIES)[:50] == canaries_r14
