@@ -107,6 +107,27 @@ def salted_join(
     return out.drop("_salt")
 
 
+def _default_partitions(df: DataFrame) -> int:
+    """Range-partition count for the global-rank devices: the larger
+    of 2x the cluster's core-derived parallelism and the user-tuned
+    `spark.sql.shuffle.partitions`.  On a big cluster the shuffle-
+    partition conf is the knob operators already size proportionally
+    to data volume (the same setting bounds every other shuffle's
+    per-task state), so honoring it keeps the device's per-task sort
+    at the cluster's intended granularity instead of pinning it to
+    core count; locally the two agree.  A per-partition slice that
+    still exceeds memory spills through ExternalSorter — slow but
+    correct — which is strictly better than the single-task plan the
+    device replaces."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism * 2
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle = 0  # e.g. "auto" under some AQE configs
+    return max(cores, shuffle)
+
+
 def _range_ranked(df: DataFrame, order_cols: list, partitions: int | None):
     """Shared first half of the global-rank device: range-partition on
     the order columns, rank locally, and compute the per-partition
@@ -125,9 +146,8 @@ def _range_ranked(df: DataFrame, order_cols: list, partitions: int | None):
     """
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism * 2
+        partitions = _default_partitions(df)
     keyed = df.repartitionByRange(partitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -198,9 +218,8 @@ def global_cumsum(
     """
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism * 2
+        partitions = _default_partitions(df)
     keyed = df.repartitionByRange(partitions, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -266,7 +266,9 @@ def max_concurrent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
         )
     )
-    parts = spark.sparkContext.defaultParallelism * 2
+    from ..operators.skew import _default_partitions
+
+    parts = _default_partitions(pts)
     keyed = pts.repartitionByRange(parts, "event_type", "t", "delta").withColumn(
         "_pid", F.spark_partition_id()
     )

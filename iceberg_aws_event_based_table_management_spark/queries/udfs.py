@@ -130,8 +130,10 @@ def udtf_binpack_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype("int64")
         return pdf[["table_name", "file_path", "_pid", "local_before"]]
 
+    from ..operators.skew import _default_partitions
+
     files = io.files(spark, sf_dir).select("table_name", "file_path", "file_size_bytes")
-    parts = spark.sparkContext.defaultParallelism * 2
+    parts = _default_partitions(files)
     keyed = files.repartitionByRange(
         parts, "table_name", F.desc("file_size_bytes"), "file_path"
     ).withColumn("_pid", F.spark_partition_id())
