@@ -447,3 +447,70 @@ def test_segment_dedup_matches_first_occurrence_walk(spark, docs, seg_words):
         for r in segment_dedup_stats(df, seg_words=seg_words).collect()
     }
     assert got == _mirror_segment_dedup(docs, seg_words)
+
+
+# ---------------------------------------------------------------------------
+# Global-rank device family (operators/skew.py, r14): property parity
+# with the single-partition window forms on randomized frames
+# ---------------------------------------------------------------------------
+
+rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**6), max_value=10**6),  # order value
+        st.integers(min_value=-1000, max_value=1000),  # summand
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+@given(rows=rank_rows, k=st.integers(min_value=1, max_value=9))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rank_devices_match_windows_property(spark, rows, k):
+    """global_row_number / global_cumsum / global_ntile must equal
+    their single-partition window twins on arbitrary frames —
+    duplicates in the order VALUE allowed (the id column makes the
+    total order), negative summands allowed, empty frame allowed.
+    One example = one small DataFrame, three comparisons."""
+    from pyspark.sql import Window
+
+    from iceberg_aws_event_based_table_management_spark.operators.skew import (
+        global_cumsum,
+        global_ntile,
+        global_row_number,
+    )
+
+    data = [(i, v, x) for i, (v, x) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "id long, v long, x long"
+    ).repartition(5)
+    order = ["v", "id"]
+    w = Window.orderBy(*order)
+    want = {
+        (r.id): (r.rn, r.c, r.b)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("x")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("c"),
+            F.ntile(k).over(w).alias("b"),
+        ).collect()
+    }
+    rn = {
+        r.id: r.rn
+        for r in global_row_number(df, order, "rn", partitions=4).collect()
+    }
+    cs = {
+        r.id: r.c for r in global_cumsum(df, order, "x", "c", partitions=4).collect()
+    }
+    nt = {
+        r.id: r.bucket
+        for r in global_ntile(df, k, order, partitions=4).collect()
+    }
+    got = {i: (rn[i], cs[i], nt[i]) for i in rn}
+    assert got == want
