@@ -154,10 +154,14 @@ def udtf_binpack_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_pid",
         F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
     )
+    # exact integer bucket edge (operators/skew.global_ntile's intdiv
+    # pattern, r14 ADVICE): floor(double divide) can round a cumulative
+    # byte total across a bucket edge past ~2^53; (x - x mod b) / b is
+    # an integer-valued double quotient, exact for nonnegative longs.
+    before = F.col("local_before") + F.col("_off")
+    bucket = F.lit(200_000_000)
     return local.join(F.broadcast(offs), ["table_name", "_pid"]).select(
         "table_name",
         "file_path",
-        F.floor((F.col("local_before") + F.col("_off")) / F.lit(200_000_000))
-        .cast("long")
-        .alias("group_id"),
+        ((before - F.pmod(before, bucket)) / bucket).cast("long").alias("group_id"),
     )

@@ -324,10 +324,18 @@ def test_global_devices_plan_has_no_single_partition_data_pass(spark):
         .executedPlan()
         .toString()
     )
-    for line in plan.splitlines():
-        if "Exchange SinglePartition" in line:
-            # the only single-partition pass is the offsets frame,
-            # recognizable by its _pid grouping in the same subtree
-            assert "_pid" in plan[plan.index(line):plan.index(line) + 2000] or "_pid" in plan
+    lines = plan.splitlines()
+    sp_idx = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert sp_idx, "expected the bounded offsets pass in the plan"
+    for i in sp_idx:
+        # the only single-partition pass is the offsets frame: its
+        # child subtree (printed directly below the exchange) must be
+        # the _pid-keyed count aggregate, never the data relation.
+        # (r14 ADVICE: the old `or "_pid" in plan` fallback was
+        # vacuously true — the device always has _pid SOMEWHERE.)
+        subtree = "\n".join(lines[i : i + 6])
+        assert "_pid" in subtree, (
+            f"SinglePartition exchange not over the _pid offsets frame:\n{subtree}"
+        )
     # the data-sized pass is range-partitioned, not single-partition
     assert "rangepartitioning" in plan.lower()

@@ -35,6 +35,12 @@ def main() -> None:
     rats = sorted(
         ((b / a, n, a, b) for n, (a, b) in both.items()), reverse=True
     )
+    if not rats:
+        # nothing comparable (all-new errors, or every old time < 0.3 s):
+        # the error summary above is the whole report — don't crash on
+        # an empty median (r14 ADVICE, low).
+        print("0 comparable queries; no ratio table")
+        return
     med = statistics.median(r for r, *_ in rats)
     print(f"{len(both)} comparable, median ratio new/old = {med:.3f}")
     movers = [(r, n, a, b) for r, n, a, b in rats if r >= floor * med]
