@@ -195,6 +195,60 @@ def global_row_number(
     )
 
 
+def grouped_global_row_number(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    rn_col: str = "rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact `row_number() OVER (PARTITION BY group_cols ORDER BY
+    order_cols)` for LOW-CARDINALITY groups whose per-group size is
+    data-proportional — the shape where the plain partitioned window
+    is as dangerous as an unpartitioned one: with 10 strata over 10^10
+    documents, each window task holds 10^9 rows.
+
+    Same decomposition as global_row_number, but the range partition
+    is on the ORDER columns alone (each task holds ~n/partitions rows
+    of ALL groups interleaved), the local rank is within (_pid, group),
+    and the broadcast offsets frame carries one row per non-empty
+    (_pid, group) pair — at most `partitions * |groups|` rows, bounded
+    metadata whenever the group count is (deciles, languages, arms).
+    The offsets window is PARTITIONED by the group columns ordering on
+    `_pid`, so no unpartitioned window node appears at all.
+
+    Exact-parity caveat shared with the window form: ranks are unique
+    only when order_cols is a total order within each group.
+    `group_cols` must be plain column NAMES (they key the offsets
+    join); order_cols may be arbitrary sort expressions.
+    """
+    from pyspark.sql import Window
+
+    if partitions is None:
+        partitions = _default_partitions(df)
+    keyed = df.repartitionByRange(partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    local = keyed.withColumn("_lrn", F.row_number().over(w_local))
+    counts = keyed.groupBy("_pid", *group_cols).agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(rn_col, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: list,

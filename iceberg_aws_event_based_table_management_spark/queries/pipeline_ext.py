@@ -194,21 +194,23 @@ def shard_assignment_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     id is then the partition key the training-data writer
     partitionBy()s on.
 
-    Scale note: the global size rank is the one global sort in the
-    family, and it sorts (n_chars, doc_id) pairs — 16 bytes/row of
-    rangepartitioned metadata, not documents; the text column never
-    moves.  (At extreme scale the same balance comes shuffle-free from
-    binning n_chars into ~1k histogram buckets and round-robining
-    within buckets.)"""
-    ranked = (
-        io.table(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id"))
-        )
+    Scale note: the global size rank runs on operators/skew.
+    global_row_number (range-partition on (n_chars DESC, doc_id) +
+    per-partition rank + broadcast cumulative offsets) — the bare
+    `row_number() OVER (ORDER BY ...)` form this replaces (r14 verdict
+    What's-wrong #2) funnels one row PER DOCUMENT through a single
+    task, corpus-proportional at 100 TB (~10^9-10^10 rows).  The
+    device sorts (n_chars, doc_id) pairs only — 16 bytes/row of
+    range-partitioned metadata; the text column never moves."""
+    from ..operators.skew import global_row_number
+
+    ranked = global_row_number(
+        io.table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.col("doc_id")],
+        "rn",
     )
     return (
-        ranked.withColumn("shard_id", (F.col("rn") - 1) % 8)
+        ranked.withColumn("shard_id", ((F.col("rn") - 1) % 8).cast("int"))
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),
@@ -370,17 +372,23 @@ def pack_sequences_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to documents).  Offsets are exact integer sums, so pack
     ids are engine-identical.
 
-    Scale shape: the running offset is a window over (doc_id,
-    n_tokens) pairs — token-count metadata, never text.  At 100 TB the
-    corpus packs per shard (E21) instead of globally: partition the
-    window by shard_id and the shape is embarrassingly parallel."""
+    Scale shape: the running offset runs on operators/skew.
+    global_cumsum (range-partition on doc_id + per-partition running
+    sum + broadcast earlier-partition totals) over (doc_id, n_tokens)
+    pairs — token-count metadata, never text.  The bare `SUM() OVER
+    (ORDER BY doc_id)` form this replaces (r14 verdict What's-wrong
+    #2) held one row PER DOCUMENT in a single task — corpus-
+    proportional, the B1 cumsum shape over documents.  n_tokens is
+    pre-cast to long, so the full-corpus running sum is overflow-safe
+    (the device's stated contract)."""
+    from ..operators.skew import global_cumsum
+
     toks = (
         io.table(spark, sf_dir, "documents")
         .select("doc_id", TXo.token_count_col().cast("long").alias("n_tokens"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered = toks.withColumn(
-        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ordered = global_cumsum(toks, ["doc_id"], "n_tokens", "_cum").withColumn(
+        "start_offset", F.col("_cum") - F.col("n_tokens")
     )
     return (
         ordered.withColumn("pack_id", F.expr("start_offset div 4096"))

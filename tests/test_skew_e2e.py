@@ -305,6 +305,37 @@ def test_global_cumsum_matches_window(spark):
         assert got == want, order
 
 
+def test_grouped_global_row_number_matches_window(spark):
+    """operators/skew.grouped_global_row_number must reproduce
+    `row_number() OVER (PARTITION BY g ORDER BY ...)` rank-for-rank on
+    a unique total order, across group counts and sizes (including
+    empty input, a 1-row group, and a group confined to one range
+    partition)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_aws_event_based_table_management_spark.operators.skew import (
+        grouped_global_row_number,
+    )
+
+    rng = random.Random(15)
+    for n, n_groups in [(0, 1), (1, 1), (9, 4), (1000, 3), (800, 20)]:
+        vals = rng.sample(range(10**6), n)
+        rows = [(v, rng.randrange(n_groups), rng.randrange(2) == 0) for v in vals]
+        df = spark.createDataFrame(rows, "v long, g int, t boolean").repartition(13)
+        w = Window.partitionBy("g", "t").orderBy("v")
+        want = {r.v: r.rk for r in df.withColumn("rk", F.row_number().over(w)).collect()}
+        got = {
+            r.v: r.rk
+            for r in grouped_global_row_number(
+                df, ["g", "t"], ["v"], "rk", partitions=7
+            ).collect()
+        }
+        assert got == want, (n, n_groups)
+
+
 def test_global_devices_plan_has_no_single_partition_data_pass(spark):
     """The whole point of the device family: the executed plan's only
     single-partition exchange feeds the bounded per-partition count/
