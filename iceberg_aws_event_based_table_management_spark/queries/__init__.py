@@ -911,6 +911,78 @@ def load() -> None:
         "split_cluster_holdout",
     ]
 
+    # ROUND-16 PLAN (authored in round 15, same staging discipline).
+    # The NINTH fresh canary sample = the post-r15 stale frontier —
+    # the 20 remaining r8 grades and all 21 r9 grades (41 names, the
+    # ENTIRE <=r9 ledger) — plus 9 fillers drawn NOT from the r10
+    # cohort by pure staleness but from the re-grade-on-new-plan
+    # cohort: every query whose plan was rewritten onto the
+    # operators/skew devices (r14: abc_xyz_inventory,
+    # lift_curve_deciles, sessionization_gap_stats,
+    # rfm_customer_segments, sort_compaction_zorder_quantile; r15:
+    # matched_pairs_by_decile, pack_sequences_token_budget,
+    # shard_assignment_balanced) or had its bucket arithmetic made
+    # exact (r15: udtf_binpack_per_table) AFTER its latest driver
+    # grade — the same fresh-grade-on-new-plan priority the r13
+    # verdict set for sort_compaction_order.  After this window grades,
+    # every rewritten plan carries a post-rewrite driver grade and no
+    # ledger entry is older than r10; round 17 rotates the r10 cohort.
+    canaries_r16 = [
+        # r8 grades (all 20 remaining — the 10 r15 holds + 10 more)
+        "acf_daily_lags",
+        "dedup_edit1_names",
+        "dedup_incremental_neardup",
+        "dedup_prefix_filter_pairs",
+        "dedup_segment_windows",
+        "dedup_simhash_hamming",
+        "emd_lengths",
+        "pipeline_rag_corpus",
+        "rrf_fuse_retrieval",
+        "similarity_threshold_pairs",
+        "stream_static_enrichment",
+        "stream_tumbling_commits_per_hour",
+        "text_boilerplate_ngrams",
+        "text_quality_classifier",
+        "text_token_stats",
+        "text_winnow_fingerprints",
+        "tfidf_top_terms",
+        "topk_orders_by_price",
+        "topk_similarity_bruteforce",
+        "window_rank_orders_per_cust",
+        # r9 grades (all 21)
+        "agg_count_distinct",
+        "agg_rollup_by_nation_region",
+        "agg_salted_two_stage",
+        "case_when_bucket",
+        "composite_local_supplier_volume",
+        "dedup_near_clusters",
+        "filter_predicates",
+        "join_anti_customers_without_orders",
+        "join_broadcast_nation_region",
+        "join_outer_customer_orders",
+        "join_range_events_windows",
+        "join_semi_customers_with_orders",
+        "project_arithmetic",
+        "scan_parquet",
+        "scan_projection",
+        "scan_pushdown_filter",
+        "sort_compaction_zorder",
+        "sort_global_topcustomers",
+        "stream_join_view_purchase",
+        "stream_merge_upsert",
+        "stream_session_real",
+        # re-grade-on-new-plan fillers (plan changed after last grade)
+        "abc_xyz_inventory",
+        "lift_curve_deciles",
+        "matched_pairs_by_decile",
+        "pack_sequences_token_budget",
+        "rfm_customer_segments",
+        "sessionization_gap_stats",
+        "shard_assignment_balanced",
+        "sort_compaction_zorder_quantile",
+        "udtf_binpack_per_table",
+    ]
+
     green = registry.driver_green_names()
     rows_only = {n for n, q in registry.QUERIES.items() if q.oracle is None}
     backlog = [n for n in ordered if n not in green and n not in rows_only]
@@ -949,7 +1021,38 @@ def load() -> None:
         | set(reoracled_r9)
     )
     ledger = registry.driver_latest_grade_round()
-    if all(ledger.get(n, 0) >= 14 for n in canaries_r14):
+    green_ledger = registry.driver_latest_green_round()
+
+    def _graded_green(names: list[str], rnd: int, regime: str) -> bool:
+        # A ledger-keyed regime flip requires the window's round to
+        # have graded AND every canary's latest grade to be GREEN (r14
+        # ADVICE, low): driver_latest_grade_round counts red rows too,
+        # so without the green check a canary that regressed red would
+        # advance the window and, being cumulatively green from an
+        # earlier round, silently drop out of all future grading.
+        # Holding the flip keeps the prior window — which contains the
+        # regressed query — live, so it re-grades next round.
+        if not all(ledger.get(n, 0) >= rnd for n in names):
+            return False
+        red = [n for n in names if green_ledger.get(n, 0) < rnd]
+        if red:
+            import warnings
+
+            warnings.warn(
+                f"{regime} flip held: canaries graded RED in round {rnd}: "
+                f"{sorted(red)}; the prior window stays live so they "
+                "re-grade",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return False
+        return True
+
+    if _graded_green(canaries_r15, 15, "round-16"):
+        # ROUND-16 REGIME: the r15 canary sample has been driver-graded
+        # green; the ninth fresh sample IS the window.
+        _flip(canaries_r16, "round-16", backlog)
+    elif _graded_green(canaries_r14, 14, "round-15"):
         # ROUND-15 REGIME: the r14 canary sample has been driver-graded
         # (ledger fact); the eighth fresh sample IS the window.
         _flip(canaries_r15, "round-15", backlog)

@@ -111,16 +111,11 @@ def driver_green_names(records: list[dict[str, dict]] | None = None) -> set[str]
     return green
 
 
-def driver_latest_grade_round(max_round: int | None = None) -> dict[str, int]:
-    """name -> the highest round number whose CORRECTNESS_r*.json
-    contains ANY grade row for it (green or not).  The grading-window
-    regime flips key off this ledger when no staged-newcomer set is
-    left to discriminate rounds (every generation was consumed by r13):
-    'was the r13 canary sample actually graded in round >= 13' is a
-    fact only the per-round files carry, not the cumulative green set.
-    Unparseable records are skipped with the same warning discipline
-    as driver_green_names.
-    """
+def _iter_driver_records(max_round: int | None):
+    """(round, record) pairs from the repo's CORRECTNESS_r*.json files,
+    skipping unparseable ones with a warning (round-7 ADVICE: a grading
+    record that exists but cannot be read changes the next window's
+    composition, which must not happen silently)."""
     import glob
     import json
     import os
@@ -128,7 +123,6 @@ def driver_latest_grade_round(max_round: int | None = None) -> dict[str, int]:
     import warnings
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -146,13 +140,46 @@ def driver_latest_grade_round(max_round: int | None = None) -> dict[str, int]:
                 f"unparseable driver correctness record {path!r}: {exc}; "
                 "excluded from the grade-freshness ledger",
                 RuntimeWarning,
-                stacklevel=2,
+                stacklevel=3,
             )
             continue
-        if not isinstance(rec, dict):
-            continue
+        if isinstance(rec, dict):
+            yield rnd, rec
+
+
+def driver_latest_grade_round(max_round: int | None = None) -> dict[str, int]:
+    """name -> the highest round number whose CORRECTNESS_r*.json
+    contains ANY grade row for it (green or not).  The grading-window
+    regime flips key off this ledger when no staged-newcomer set is
+    left to discriminate rounds (every generation was consumed by r13):
+    'was the r13 canary sample actually graded in round >= 13' is a
+    fact only the per-round files carry, not the cumulative green set.
+    """
+    latest: dict[str, int] = {}
+    for rnd, rec in _iter_driver_records(max_round):
         for name, row in rec.items():
             if isinstance(row, dict):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def driver_latest_green_round(max_round: int | None = None) -> dict[str, int]:
+    """name -> the highest round number whose CORRECTNESS_r*.json
+    contains a GREEN grade row for it (same green definition as
+    driver_green_names: hash match with no error, or rows-only match
+    for oracle-less queries).  The regime flips require this to reach
+    the window's round (r14 ADVICE, low): keying the flip off ANY
+    grade row would let a canary that regressed RED advance the window
+    and silently drop out of all future grading — requiring green
+    keeps the regime (and so the regressed query) in the window until
+    it re-grades clean."""
+    latest: dict[str, int] = {}
+    for rnd, rec in _iter_driver_records(max_round):
+        for name, row in rec.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            rows_only = name in QUERIES and QUERIES[name].oracle is None
+            if row.get("hash_match") or (rows_only and row.get("rows_match")):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

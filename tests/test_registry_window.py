@@ -112,10 +112,23 @@ def _expected_window(green: set[str], ledger: dict[str, int] | None = None) -> l
     From round 14 on the discriminator is the grade-freshness LEDGER
     (driver_latest_grade_round) — every staged-newcomer generation was
     consumed by r13, so 'was the r13 canary sample graded in a round
-    >= 13' is the only fact that separates r14+ from r13."""
+    >= 13' is the only fact that separates r14+ from r13.  From round
+    15 on the flip also requires the window's grades to be GREEN
+    (driver_latest_green_round — a red canary holds the prior window
+    live so it re-grades)."""
     if ledger is None:
         ledger = registry.driver_latest_grade_round()
-    if all(ledger.get(n, 0) >= 14 for n in _hand_authored("canaries_r14")):
+    green_ledger = registry.driver_latest_green_round()
+
+    def _graded_green(names: list[str], rnd: int) -> bool:
+        return all(
+            ledger.get(n, 0) >= rnd and green_ledger.get(n, 0) >= rnd
+            for n in names
+        )
+
+    if _graded_green(_hand_authored("canaries_r15"), 15):
+        return _hand_authored("canaries_r16")
+    if _graded_green(_hand_authored("canaries_r14"), 14):
         return _hand_authored("canaries_r15")
     if all(ledger.get(n, 0) >= 13 for n in _hand_authored("canaries_r13")):
         return _hand_authored("canaries_r14")
@@ -738,8 +751,7 @@ def test_canaries_r15_staged_and_fresh(loaded):
     registered, duplicate-free, window-sized, driver-green, equal to
     the post-r14 stale frontier (ledger capped at r13 plus the r14
     window simulated green: everything left at r5-r7 is in, fillers
-    come from the r8 cohort), and inert until CORRECTNESS_r14 lands —
-    today's window must still be canaries_r14."""
+    come from the r8 cohort)."""
     canaries_r15 = _hand_authored("canaries_r15")
     canaries_r14 = _hand_authored("canaries_r14")
     assert len(canaries_r15) == 50
@@ -760,5 +772,134 @@ def test_canaries_r15_staged_and_fresh(loaded):
         "r15 filler canaries must come from the r8 cohort: "
         f"{sorted(n for n in extras if ledger.get(n) != 8)}"
     )
-    # inert today: the live window is still the r14 sample
-    assert list(registry.QUERIES)[:50] == canaries_r14
+    # The live window must match whatever regime TODAY's records imply
+    # — derived via _expected_window, never a literal round's sample.
+    # (The r14 verdict's What's-wrong #1: this assertion used to pin
+    # 'still canaries_r14', which reddened the moment the driver
+    # landed CORRECTNESS_r14.json.  The suite must stay green when
+    # the driver files for round N+1 appear.)
+    assert list(registry.QUERIES)[:50] == _expected_window(green)
+
+
+def test_canaries_r16_staged_and_fresh(loaded):
+    """The round-16 sample (authored in round 15, staging discipline):
+    registered, duplicate-free, window-sized, driver-green, equal to
+    the post-r15 stale frontier (ledger capped at r14 plus the r15
+    window simulated green: every remaining r8/r9 grade is in) plus
+    the documented re-grade-on-new-plan fillers — the nine queries
+    whose plans were rewritten onto the operators/skew devices (or
+    made exact) AFTER their latest driver grade.  No literal live-
+    window pin: the live window belongs to _expected_window."""
+    canaries_r16 = _hand_authored("canaries_r16")
+    canaries_r15 = _hand_authored("canaries_r15")
+    assert len(canaries_r16) == 50
+    assert len(set(canaries_r16)) == 50
+    assert not set(canaries_r16) & set(canaries_r15)
+    green = registry.driver_green_names()
+    for n in canaries_r16:
+        assert n in registry.QUERIES, f"unregistered r16 canary {n}"
+        assert n in green, f"r16 canary {n} has no driver-green record"
+    ledger = registry.driver_latest_grade_round(max_round=14)
+    for n in canaries_r15:
+        ledger[n] = 15  # the state the r15 grading run creates
+    through_r9 = {n for n, r in ledger.items() if r <= 9}
+    missing = through_r9 - set(canaries_r16)
+    assert not missing, f"r8/r9 grades left out of the r16 window: {sorted(missing)}"
+    # the 9 fillers: every plan rewritten (or made exact) after its
+    # latest grade — r14 device rewrites graded r10-r12, r15 rewrites
+    # graded r11-r14
+    regraded = {
+        "abc_xyz_inventory",
+        "lift_curve_deciles",
+        "matched_pairs_by_decile",
+        "pack_sequences_token_budget",
+        "rfm_customer_segments",
+        "sessionization_gap_stats",
+        "shard_assignment_balanced",
+        "sort_compaction_zorder_quantile",
+        "udtf_binpack_per_table",
+    }
+    assert set(canaries_r16) - through_r9 == regraded
+
+
+def _simulated_ledgers(real_any, real_green, names: list[str], rnd: int,
+                       red: set[str] = frozenset()):
+    """Ledger factories reconstructing 'round `rnd` graded `names`':
+    both ledgers capped at rnd-1, every name granted an any-grade row
+    at rnd, and every name NOT in `red` granted a green row at rnd."""
+    cap = rnd - 1
+
+    def sim_any(max_round=None):
+        led = real_any(max_round=cap if max_round is None else min(max_round, cap))
+        for n in names:
+            led[n] = max(led.get(n, 0), rnd)
+        return led
+
+    def sim_green(max_round=None):
+        led = real_green(max_round=cap if max_round is None else min(max_round, cap))
+        for n in names:
+            if n not in red:
+                led[n] = max(led.get(n, 0), rnd)
+        return led
+
+    return sim_any, sim_green
+
+
+def test_r16_flip_after_r15_window_graded(loaded, monkeypatch):
+    """The general round-N+1 guard the r14 verdict asked for: simulate
+    the NEXT driver grading run landing (every r15 canary graded green
+    in round 15) and assert load() advances the window to the staged
+    r16 sample — the suite must stay green when driver files for round
+    N+1 exist, by construction rather than by literal pins."""
+    import iceberg_aws_event_based_table_management_spark.queries as q
+
+    canaries_r15 = _hand_authored("canaries_r15")
+    sim_any, sim_green = _simulated_ledgers(
+        registry.driver_latest_grade_round,
+        registry.driver_latest_green_round,
+        canaries_r15,
+        15,
+    )
+    monkeypatch.setattr(registry, "driver_latest_grade_round", sim_any)
+    monkeypatch.setattr(registry, "driver_latest_green_round", sim_green)
+    snapshot = dict(registry.QUERIES)
+    monkeypatch.setattr(q, "_LOADED", False)
+    try:
+        q.load()
+        assert list(registry.QUERIES)[:50] == _hand_authored("canaries_r16")
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(snapshot)
+        monkeypatch.setattr(q, "_LOADED", True)
+
+
+def test_red_canary_holds_the_flip(loaded, monkeypatch):
+    """r14 ADVICE (low): a canary that grades RED must hold the regime
+    flip — the prior window (which contains the regressed query) stays
+    live so the query re-grades next round, instead of advancing the
+    window and silently dropping the regression from future grading."""
+    import iceberg_aws_event_based_table_management_spark.queries as q
+
+    canaries_r15 = _hand_authored("canaries_r15")
+    red_name = canaries_r15[0]
+    sim_any, sim_green = _simulated_ledgers(
+        registry.driver_latest_grade_round,
+        registry.driver_latest_green_round,
+        canaries_r15,
+        15,
+        red={red_name},
+    )
+    monkeypatch.setattr(registry, "driver_latest_grade_round", sim_any)
+    monkeypatch.setattr(registry, "driver_latest_green_round", sim_green)
+    snapshot = dict(registry.QUERIES)
+    monkeypatch.setattr(q, "_LOADED", False)
+    try:
+        with pytest.warns(RuntimeWarning, match="flip held"):
+            q.load()
+        names = list(registry.QUERIES)
+        assert names[:50] == canaries_r15
+        assert red_name in names[:50]
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(snapshot)
+        monkeypatch.setattr(q, "_LOADED", True)
