@@ -168,11 +168,13 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     building a 32-element array column first by ~15% steady-state
     (A/B'd at sf0.1, identical signatures), and the allocation it
     avoids is per shingle row — the hottest row count in the repo."""
-    return sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))) for i in range(num_hashes)]
-        ).alias("signature")
-    )
+    # Built as ONE parsed expression string: the per-seed Column-object
+    # loop cost ~num_hashes x 4 py4j round-trips of driver latency per
+    # query BUILD (guide §3.3 — plan construction was the bottleneck,
+    # profiled r15); one F.expr parse is a single round-trip and yields
+    # the identical Catalyst tree (int seed literal, same xxhash64).
+    mins = ", ".join(f"min(xxhash64(shingle, {i}))" for i in range(num_hashes))
+    return sh.groupBy("doc_id").agg(F.expr(f"array({mins}) AS signature"))
 
 
 def band_table(
@@ -185,48 +187,87 @@ def band_table(
     signatures for the new batch; locked by
     tests/test_dedup_similarity.py round-tripping it through parquet."""
     assert bands * rows_per_band <= 64
+    # One parsed expression instead of a bands x ~8 py4j Column-object
+    # loop (guide §3.3; see minhash_signatures) — identical tree.
+    structs = ", ".join(
+        f"named_struct('band_id', {b}, 'band_hash', "
+        f"xxhash64(array_join(transform("
+        f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}), "
+        f"x -> CAST(x AS STRING)), ',')))"
+        for b in range(bands)
+    )
     return signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        "doc_id", F.explode(F.expr(f"array({structs})")).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
+def _suffix_pair_structs(list_col: str) -> "F.Column":
+    """All (a < b) pairs from an ASCENDING array column, emitted as
+    structs by pairing each element with its suffix — every unordered
+    pair exactly once, map-side, no join.  Shared by the posting-list
+    pair emitters (jaccard_pairs, lsh_candidate_pairs)."""
+    return F.flatten(
+        F.transform(
+            F.col(list_col),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col(list_col),
+                    i + 2,
+                    F.greatest(F.size(list_col) - i - 1, F.lit(1)),
+                ),
+                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    cross_at: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs sharing any
     (band_id, band_hash) bucket become candidate pairs.  The bucket
-    equi-join is the scale move — candidates ~ true near-dups, not n^2.
-    The banded table feeds both join sides, so it is localCheckpoint'ed
-    once (doc_count x bands rows of three longs — small) instead of
-    re-running the signature aggregation per side; at production scale
-    this is exactly the persistable band INDEX (band_table) the
-    incremental admission path (E63) keeps between batches."""
-    banded = band_table(signatures, bands, rows_per_band).localCheckpoint(eager=False)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    grouping is the scale move — candidates ~ true near-dups, not n^2.
+
+    Bucket co-membership is computed as groupBy(band_id, band_hash) +
+    in-group suffix-pair emission, NOT a self-join (the jaccard_pairs
+    r13 shape, applied here in r15): the band table shuffles ONCE
+    instead of feeding two join sides, which also removes the
+    localCheckpoint (single consumer now) and its build-time planning
+    pass.  Output is the identical distinct (doc_id_a < doc_id_b) pair
+    set — each bucket's sorted member list emits exactly the pairs the
+    a.doc_id < b.doc_id join emitted.
+
+    `cross_at` restricts emission to pairs straddling an id boundary
+    (a < cross_at <= b) — the incremental-admission filter (E63) pushed
+    INTO the emitter, so a replicated corpus's base x base bucket pairs
+    are never materialized, instead of being generated and then
+    filtered out.  At production scale the band table itself is the
+    persistable INDEX (band_table) kept between batches."""
+    banded = band_table(signatures, bands, rows_per_band)
+    groups = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if cross_at is None:
+        pair_structs = _suffix_pair_structs("ds")
+    else:
+        lo = F.filter(F.col("ds"), lambda x: x < F.lit(cross_at))
+        hi = F.filter(F.col("ds"), lambda x: x >= F.lit(cross_at))
+        pair_structs = F.flatten(
+            F.transform(
+                lo,
+                lambda x: F.transform(
+                    hi, lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b"))
+                ),
+            )
+        )
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
 
@@ -245,6 +286,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = 1000,
     broadcast_sizes: bool | None = None,
+    input_cached: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
     (optionally restricted to a candidate/block set).
@@ -292,22 +334,23 @@ def jaccard_pairs(
     if broadcast_sizes is None:
         nbytes = _stat_input_bytes(sh)
         broadcast_sizes = nbytes is not None and nbytes <= _SIZES_BROADCAST_SAFE_BYTES
-    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).localCheckpoint(eager=False)
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    if not input_cached:
+        # The hashed projection feeds two consumers (sizes, groups) —
+        # materialize once so a fresh shingle extraction does not run
+        # twice.  When the CALLER already checkpointed the shingle
+        # table (`input_cached`), both consumers re-read that cache and
+        # re-hash (cheap, map-side); skipping the second checkpoint
+        # removes a serial materialization barrier and its build-time
+        # physical-planning pass (r15 profile).
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     groups = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     if df_cap is not None:
         groups = groups.filter(F.size("ds") <= df_cap)
     # ds is ascending and per-doc shingles are distinct, so pairing each
     # element with its suffix yields every (a < b) pair exactly once
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.greatest(F.size("ds") - i - 1, F.lit(1))),
-                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
-            ),
-        )
-    )
+    pair_structs = _suffix_pair_structs("ds")
     inter = (
         groups.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.doc_id_a").alias("doc_id_a"), F.col("p.doc_id_b").alias("doc_id_b"))
@@ -360,20 +403,21 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     # CASE WHEN per bit (~15% off the dominant word-row agg, A/B'd at
     # sf0.1 with bit-identical fingerprints); the per-doc threshold
     # arithmetic moves to the doc-sized reassembly select.
+    # Both the 60-accumulator agg and the 60-term reassembly are built
+    # as parsed expression strings: the Column-object loops cost ~500
+    # py4j round-trips (~2 s of driver latency per query BUILD, profiled
+    # r15 — guide §3.3, plan construction as the bottleneck); the parsed
+    # trees and the fingerprints are bit-identical (A/B'd at sf0.1).
     bit_sums = hashed.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
-            for b in range(bits)
-        ],
+        F.expr("count(*) AS n"),
+        *[F.expr(f"sum(shiftright(h, {b}) & 1) AS s{b}") for b in range(bits)],
     )
-    fp = bit_sums.select(
-        "doc_id",
-        sum(
-            F.when(2 * F.col(f"s{b}") > F.col("n"), F.lit(2**b).cast("long")).otherwise(0)
-            for b in range(bits)
-        ).alias("simhash"),
+    terms = " + ".join(
+        f"CASE WHEN (2 * s{b}) > n THEN CAST({2 ** b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
     )
+    fp = bit_sums.select("doc_id", F.expr(terms).alias("simhash"))
     return fp
 
 
@@ -434,10 +478,21 @@ def connected_components(
     be expressed as one lazy Spark plan in any case — every round
     already materializes."""
     und = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=False)
-    n_pairs = und.count()
+    # ONE bounded job decides the gate AND (when small) delivers the
+    # pair list: limit(cutoff+1).collect() materializes the checkpoint,
+    # and its length answers "<= cutoff?" exactly — the r15 fusion of
+    # the former count job + collect job (two full passes' worth of
+    # driver/job-scheduling latency at plan-build time).  The collected
+    # head is bounded by the gate (cutoff+1 rows ≈ 3 MB) in BOTH
+    # branches; above the cutoff it is discarded and nothing else is
+    # ever collected.
+    head = und.limit(small_cutoff + 1).collect()
+    small = len(head) <= small_cutoff
     _LAST_CC_INFO.clear()
-    _LAST_CC_INFO.update(path="driver", rounds=0, pairs=n_pairs)
-    if n_pairs <= small_cutoff:
+    _LAST_CC_INFO.update(
+        path="driver", rounds=0, pairs=len(head) if small else None
+    )
+    if small:
         from pyspark.sql.types import StructField, StructType
 
         parent: dict = {}
@@ -450,7 +505,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for a, b in und.collect():
+        for a, b in head:
             if a not in parent:
                 parent[a] = a
             if b not in parent:

@@ -236,7 +236,11 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     local, no driver traffic — on a cluster this is persist())."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = D.shingles(docs, 3).localCheckpoint(eager=False)
-    sig = D.minhash_signatures(sh, num_hashes=32).localCheckpoint(eager=False)
+    # sig feeds ONLY the (now single-shuffle) band pipeline — no
+    # checkpoint: each localCheckpoint pays a full physical-planning
+    # pass at query-build time (r15 profile), so single-consumer
+    # frames stay lazy.
+    sig = D.minhash_signatures(sh, num_hashes=32)
     cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
     # The checkpointed shingle table is unprobeable (no inputFiles), so
     # jaccard_pairs' self-probe would pin the shuffle plan at every sf;
@@ -245,6 +249,7 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = D.jaccard_pairs(
         sh, block=cands, threshold=0.5,
         broadcast_sizes=not gates.corpus_exceeds(sf_dir),
+        input_cached=True,
     )
     return verified.select(
         "doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
@@ -529,26 +534,29 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     combined = base.unionByName(batch)
-    # sh feeds signatures AND verification; sig feeds the band join's
-    # two sides — materialize each once (executor-local)
+    # sh feeds signatures AND verification — materialize once
+    # (executor-local); sig feeds only the single-shuffle band
+    # pipeline, so it stays lazy (no checkpoint = no build-time
+    # planning pass, r15).
     sh = D.shingles(combined, 3).localCheckpoint(eager=False)
-    sig = D.minhash_signatures(sh, num_hashes=32).localCheckpoint(eager=False)
-    cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
-    # jaccard_pairs emits doc_id_a < doc_id_b; base ids < offset <=
-    # batch ids, so cross candidates are exactly (a=base, b=batch).
-    # Admission only ever needs cross pairs, so restrict the BLOCK —
-    # base×base near-dups (the bulk of a replicated corpus's banded
-    # candidates) then fall out of the verify semi-join before the
-    # size joins and jaccard arithmetic instead of after them (r12:
-    # identical output, verify work ∝ cross candidates only).
-    cross_cands = cands.filter(
-        (F.col("doc_id_a") < _INC_OFFSET) & (F.col("doc_id_b") >= _INC_OFFSET)
+    sig = D.minhash_signatures(sh, num_hashes=32)
+    # Emission is restricted to cross pairs INSIDE the band emitter
+    # (cross_at): base ids < offset <= batch ids, so (a < offset <= b)
+    # is exactly the base x batch candidate set.  Admission only ever
+    # needs cross pairs; base×base near-dups (the bulk of a replicated
+    # corpus's banded candidates) are now never materialized at all —
+    # r12 dropped them before the size joins, r15 drops them before
+    # the pair explode + distinct (identical output, candidate work
+    # ∝ cross candidates only).
+    cross_cands = D.lsh_candidate_pairs(
+        sig, bands=8, rows_per_band=4, cross_at=_INC_OFFSET
     )
     # sh is checkpointed (unprobeable) — footer-gate the size-join
     # strategy like dedup_near_verified above (r12 ADVICE).
     cross = D.jaccard_pairs(
         sh, block=cross_cands, threshold=0.5,
         broadcast_sizes=not gates.corpus_exceeds(sf_dir),
+        input_cached=True,
     )
     best = (
         cross.groupBy("doc_id_b")

@@ -314,6 +314,13 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it to 0 and lock the no-forced-broadcast plan shape.
 _PF_BCAST_MAX_SHINGLES = 8_000_000
 
+# Checkpoint the shingle table even in the small-corpus regime: the
+# r10 "re-derive, don't materialize" measurement predates the r13-r15
+# plan changes; the r15 stage profile showed the small regime paying
+# THREE full shingle extractions (dfreq, the pref chain, arrs) of the
+# one pass the checkpoint costs.  Module-level so the A/B can flip it.
+_PF_SMALL_CKPT_SH = True
+
 
 def _pf_estimated_shingles(sf_dir: str) -> int:
     """Conservative shingle-count upper bound from documents.parquet's
@@ -417,7 +424,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking chain executes once per alias and the x30 probe paid 5x).
     small_corpus = _pf_estimated_shingles(sf_dir) <= _PF_BCAST_MAX_SHINGLES
     sh = D.shingles(docs, 3)
-    if not small_corpus:
+    if not small_corpus or _PF_SMALL_CKPT_SH:
         sh = sh.localCheckpoint(eager=False)
     # Only non-singleton shingles need a df row: absent means df=1
     # (the vast majority), so the join side shrinks from ~|shingles|

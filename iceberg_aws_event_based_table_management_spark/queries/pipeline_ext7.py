@@ -115,19 +115,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # members is ascending, so pairing each element with its suffix
     # emits every (a < b) member pair exactly once (the jaccard_pairs
     # in-group emission pattern)
-    intra_pairs = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("members"),
-                    i + 2,
-                    F.greatest(F.size("members") - i - 1, F.lit(1)),
-                ),
-                lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b")),
-            ),
-        )
-    )
+    intra_pairs = D._suffix_pair_structs("members")
     intra = (
         groups.filter(F.size("members") >= 2)
         .select(F.explode(intra_pairs).alias("p"))
@@ -143,21 +131,13 @@ def _simhash_fp_candidate_pairs(ufp: DataFrame) -> DataFrame:
     _HAM_MAX_DIST.  Split out so the property test can bound the
     candidate volume independently of member re-expansion."""
     mask = (1 << _HAM_BLOCK_BITS) - 1
+    structs = ", ".join(
+        f"named_struct('block_no', {j}, "
+        f"'block_val', shiftright(simhash, {j * _HAM_BLOCK_BITS}) & {mask})"
+        for j in range(_HAM_BLOCKS)
+    )
     blocks = ufp.select(
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("block_no"),
-                        F.shiftright("simhash", j * _HAM_BLOCK_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("block_val"),
-                    )
-                    for j in range(_HAM_BLOCKS)
-                ]
-            )
-        ).alias("blk"),
+        "simhash", F.explode(F.expr(f"array({structs})")).alias("blk")
     ).select("simhash", "blk.block_no", "blk.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast(
