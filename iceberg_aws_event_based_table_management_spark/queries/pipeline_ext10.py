@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from ..operators import dedup as D
 from ..registry import register
 from .aggregates import dec_sum, _dec_sum_sql
 from .pipeline_ext8 import _BM25_SCORED_CTE, _bm25_scored
@@ -91,17 +92,22 @@ def dedup_edit1_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, pos + 1)"),
         ).alias("variant"),
     )
-    a, b = dels.alias("a"), dels.alias("b")
     # substitution name pairs: same deletion position, same variant,
     # different names — provably hamming-1, emitted exactly once
     # (the pair differs at exactly one position, so exactly one
-    # (pos, variant) witnesses it)
-    subs_n = a.join(
-        b,
-        (F.col("a.pos") == F.col("b.pos"))
-        & (F.col("a.variant") == F.col("b.variant"))
-        & (F.col("a.c_name") < F.col("b.c_name")),
-    ).select(F.col("a.c_name").alias("nx"), F.col("b.c_name").alias("ny"))
+    # (pos, variant) witnesses it).  Grouped posting-list emission
+    # (the jaccard_pairs/lsh shape, r15): the variant table shuffles
+    # ONCE into (pos, variant) buckets and sorted member lists emit
+    # each (a < b) pair map-side — the former two-sided self-join
+    # shuffled/broadcast dels twice and re-derived its explode chain
+    # per alias.  Identical pair set by the same witness argument.
+    subs_n = (
+        dels.groupBy("pos", "variant")
+        .agg(F.array_sort(F.collect_list("c_name")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(D._suffix_pair_structs("ds")).alias("p"))
+        .select(F.col("p.doc_id_a").alias("nx"), F.col("p.doc_id_b").alias("ny"))
+    )
     # insertion/deletion name pairs: one name IS the other minus one
     # character (lengths differ, so disjoint from subs_n); dedup
     # multi-position witnesses ("aab" -> "ab" matches twice)
@@ -466,7 +472,7 @@ def rrf_fuse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window and the full-outer fusion run on ≤50-row frames —
     the corpus is touched once per retriever, exactly as in the
     production two-tower + lexical stack."""
-    from ..operators.similarity import as_double, cosine
+    from ..operators.similarity import as_double, cosine, lit_double_array
 
     lex = (
         _bm25_scored(spark, sf_dir)
@@ -482,7 +488,7 @@ def rrf_fuse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb_tbl.filter(F.col("vec_id") == 0).select("embedding").collect()[0][
         0
     ]  # one query vector — metadata-bounded driver collect
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_double_array(qvec)
     emb = (
         emb_tbl.select(
             F.col("vec_id").alias("doc_id"),

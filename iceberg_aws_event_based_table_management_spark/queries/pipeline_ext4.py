@@ -262,6 +262,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.greatest(F.col("n_grams") - (_WINNOW_W - 1), F.lit(1)))
         .select("doc_id", "n_grams", "fp")
         .distinct()
+        # sel feeds the shared-fp aggregate AND the final join, but
+        # column pruning projects the two copies differently, so
+        # exchange reuse never fires and the whole gram+triple-window
+        # chain executed TWICE (r15 plan audit: two full Scan->Generate
+        # ->Window subtrees).  Materialize the selected fingerprints
+        # once — ~2/(w+1) of the gram rows, three longs a row.
+        .localCheckpoint(eager=False)
     )
     shared = (
         sel.groupBy("fp")

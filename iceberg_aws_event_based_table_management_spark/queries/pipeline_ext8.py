@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from ..operators import similarity as S
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -256,7 +257,7 @@ def pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = cust.agg(
         F.percentile("rev_cents", F.lit(fr)).alias("bp")
     ).head()[0]  # 15 scalars — metadata-bounded driver collect
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    barr = S.lit_double_array(bounds)
     bucketed = cust.withColumn(
         "bucket", F.size(F.filter(barr, lambda b: b < F.col("rev_cents")))
     )
