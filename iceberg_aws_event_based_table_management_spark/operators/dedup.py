@@ -403,17 +403,43 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     # CASE WHEN per bit (~15% off the dominant word-row agg, A/B'd at
     # sf0.1 with bit-identical fingerprints); the per-doc threshold
     # arithmetic moves to the doc-sized reassembly select.
-    # Both the 60-accumulator agg and the 60-term reassembly are built
-    # as parsed expression strings: the Column-object loops cost ~500
-    # py4j round-trips (~2 s of driver latency per query BUILD, profiled
-    # r15 — guide §3.3, plan construction as the bottleneck); the parsed
-    # trees and the fingerprints are bit-identical (A/B'd at sf0.1).
-    bit_sums = hashed.groupBy("doc_id").agg(
-        F.expr("count(*) AS n"),
-        *[F.expr(f"sum(shiftright(h, {b}) & 1) AS s{b}") for b in range(bits)],
+    # The aggregate is built as parsed expression strings (the former
+    # Column-object loops cost ~500 py4j round-trips ≈ 2 s of driver
+    # latency per query BUILD — r15 profile, guide §3.3), and SWAR-
+    # packed two bit-counters per long: accumulator p_j carries count
+    # of bit j in its low 32 bits and count of bit j+bits/2 in its
+    # high 32.  Lanes cannot carry into each other: each count is at
+    # most the doc's word count, and a document is a single string
+    # cell (< 2^31 chars, hence < 2^31 words).  Halving the
+    # accumulator count halves the per-doc partial-agg state shipped
+    # in the shuffle (§2.3, narrower state) and the planning cost of
+    # the aggregate; the unpacked s_b values — and therefore the
+    # fingerprints — are bit-identical (pinned by the property tests'
+    # collected fingerprints and the DuckDB oracles).
+    half = bits // 2
+    packed = [
+        F.expr(
+            f"sum((shiftright(h, {j}) & 1) | "
+            f"shiftleft(shiftright(h, {j + half}) & 1, 32)) AS p{j}"
+        )
+        for j in range(half)
+    ]
+    solo = (
+        [F.expr(f"sum(shiftright(h, {bits - 1}) & 1) AS s{bits - 1}")]
+        if bits % 2
+        else []
     )
+    bit_sums = hashed.groupBy("doc_id").agg(F.expr("count(*) AS n"), *packed, *solo)
+
+    def s(b: int) -> str:
+        if bits % 2 and b == bits - 1:
+            return f"s{b}"
+        if b < half:
+            return f"(p{b} & 4294967295)"
+        return f"shiftright(p{b - half}, 32)"
+
     terms = " + ".join(
-        f"CASE WHEN (2 * s{b}) > n THEN CAST({2 ** b} AS BIGINT)"
+        f"CASE WHEN (2 * {s(b)}) > n THEN CAST({2 ** b} AS BIGINT)"
         f" ELSE CAST(0 AS BIGINT) END"
         for b in range(bits)
     )

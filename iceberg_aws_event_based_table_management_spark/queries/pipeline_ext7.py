@@ -377,120 +377,105 @@ def ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized int64 until the final recall division, so the entire
     chain is oracle-exact.
 
-    Scale shape: coarse centroids and PQ codebook are broadcast
-    k-rows; cell assignment and code assignment are min(struct)
-    partial aggs (E53/E103's shapes); the ADC table is {k}×{blk}
-    rows crossed with the query only; candidate scoring joins codes
-    (3 ints/row) to the broadcast ADC — the corpus' float vectors are
-    read ONCE at index build, never at query time.  The exact-top-k
-    side exists only as the audit."""
+    Scale shape (r15 rework): the coarse centroids, PQ codebook and
+    query vector are k = {k} DETERMINISTIC rows (lowest vec_ids), so
+    they are pulled ONCE in a bounded driver collect (8 rows of 64
+    int64s — the knn_join/rrf metadata-pull pattern) and inlined as
+    literal expressions.  Cell assignment and per-block code
+    assignment become map-side argmins against the literal centroids
+    — the former coarse/codebook crossJoin + groupBy(vec_id) pair
+    shuffled the whole corpus TWICE; now nothing shuffles but the two
+    TakeOrdered top-{t}s and the candidate count.  The ADC lookup
+    table is computed exactly in Python integers (the same quantized
+    int64 arithmetic) and inlined as literal arrays indexed by each
+    row's code — no join.  The exact-top-k side exists only as the
+    audit."""
     x = io.table(spark, sf_dir, "embeddings").select(
         "vec_id", S.quantize(F.col("embedding")).alias("xq")
     )
 
-    def l2(a: str, b: str, lo: int, n: int) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                F.slice(a, lo + 1, n), F.slice(b, lo + 1, n), lambda u, v: (u - v) * (u - v)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    # ONE bounded driver pull: the 8 lowest-vec_id quantized vectors
+    # seed coarse cells, PQ codebook (first 4) and the query (vec_id 0).
+    head = x.orderBy("vec_id").limit(_IVF_K).collect()
+    cents = [list(r["xq"]) for r in head]
+    cb = cents[:_PQ7_K]
+    qrows = [c for r, c in zip(head, cents) if r["vec_id"] == 0]
+
+    def arr_lit(vals) -> str:
+        return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+    def l2_lit(col: str, vec, lo: int, n: int) -> str:
+        # engine-side exact integer L2 of a column slice vs a literal
+        return (
+            f"aggregate(zip_with(slice({col}, {lo + 1}, {n}), "
+            f"{arr_lit(vec[lo:lo + n])}, (u, v) -> (u - v) * (u - v)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
 
-    coarse = (
-        x.orderBy("vec_id")
-        .limit(_IVF_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("long")
-            .alias("cell_id"),
-            F.col("xq").alias("cq"),
+    def l2_py(a, b, lo: int, n: int) -> int:
+        return sum((a[lo + i] - b[lo + i]) ** 2 for i in range(n))
+
+    # nearest coarse cell / per-block nearest code: map-side argmin
+    # over literal centroids, same (d, id) struct-min tiebreak as the
+    # former min(struct(d, cell_id)) aggregate
+    cell_expr = (
+        "array_min(array("
+        + ", ".join(
+            f"named_struct('d', {l2_lit('xq', c, 0, 64)}, 'i', CAST({i} AS BIGINT))"
+            for i, c in enumerate(cents)
         )
+        + ")).i"
     )
-    assigned = (
-        x.crossJoin(F.broadcast(coarse))
-        .select("vec_id", "cell_id", l2("xq", "cq", 0, 64).alias("d"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cell_id")).alias("m"))
-        .select("vec_id", F.col("m.cell_id").alias("cell_id"))
-    )
-    q = x.filter(F.col("vec_id") == 0).select(F.col("xq").alias("qq"))
-    probed = (
-        coarse.crossJoin(F.broadcast(q))
-        .select("cell_id", l2("cq", "qq", 0, 64).alias("d"))
-        .orderBy("d", "cell_id")
-        .limit(_IVF_NPROBE)
-        .select("cell_id")
-    )
-    cand = assigned.join(F.broadcast(probed), "cell_id").select("vec_id")
-    cb = (
-        x.orderBy("vec_id")
-        .limit(_PQ7_K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("long")
-            .alias("code_id"),
-            F.col("xq").alias("cq"),
-        )
-    )
-    codes = (
-        x.crossJoin(F.broadcast(cb))
-        .select(
-            "vec_id",
-            "code_id",
-            *[
-                l2("xq", "cq", b * _PQ7_SUBDIM, _PQ7_SUBDIM).alias(f"d{b}")
-                for b in range(_PQ7_BLOCKS)
-            ],
-        )
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.min(F.struct(F.col(f"d{b}"), F.col("code_id"))).alias(f"m{b}")
-                for b in range(_PQ7_BLOCKS)
-            ]
-        )
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).cast("long").alias("blk"),
-                            F.col(f"m{b}.code_id").alias("code_id"),
-                        )
-                        for b in range(_PQ7_BLOCKS)
-                    ]
-                )
-            ).alias("bc"),
-        )
-        .select("vec_id", "bc.blk", "bc.code_id")
-    )
-    adc = cb.crossJoin(F.broadcast(q)).select(
-        "code_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("blk"),
-                        l2("qq", "cq", b * _PQ7_SUBDIM, _PQ7_SUBDIM).alias("d"),
-                    )
-                    for b in range(_PQ7_BLOCKS)
-                ]
+
+    def code_expr(b: int) -> str:
+        return (
+            "array_min(array("
+            + ", ".join(
+                f"named_struct('d', {l2_lit('xq', c, b * _PQ7_SUBDIM, _PQ7_SUBDIM)}, "
+                f"'c', {ci})"
+                for ci, c in enumerate(cb)
             )
-        ).alias("bd"),
-    ).select("code_id", "bd.blk", "bd.d")
-    approx = (
-        cand.join(codes, "vec_id")
-        .join(F.broadcast(adc), ["blk", "code_id"])
-        .groupBy("vec_id")
-        .agg(F.sum("d").cast("long").alias("adc_dist"))
+            + ")).c"
+        )
+
+    if qrows:
+        qv = qrows[0]
+        # probe cells and ADC table computed driver-side in exact
+        # Python integer arithmetic (identical to the engine's int64)
+        probed_ids = [
+            cid
+            for _, cid in sorted(
+                (l2_py(qv, c, 0, 64), i) for i, c in enumerate(cents)
+            )[:_IVF_NPROBE]
+        ]
+        adc = [
+            [l2_py(qv, c, b * _PQ7_SUBDIM, _PQ7_SUBDIM) for c in cb]
+            for b in range(_PQ7_BLOCKS)
+        ]
+        adc_expr = " + ".join(
+            f"{arr_lit(adc[b])}[{code_expr(b)}]" for b in range(_PQ7_BLOCKS)
+        )
+        qd_expr = l2_lit("xq", qv, 0, 64)
+    else:
+        # no vec_id-0 query: every probed/ADC/exact stage is empty,
+        # exactly as the former join form produced
+        probed_ids = []
+        adc_expr = "CAST(0 AS BIGINT)"
+        qd_expr = "CAST(0 AS BIGINT)"
+
+    scored = x.select(
+        "vec_id",
+        F.expr(cell_expr).alias("cell_id"),
+        F.expr(adc_expr).alias("adc_dist"),
+        F.expr(qd_expr).alias("qd"),
     )
-    atop = approx.orderBy("adc_dist", "vec_id").limit(_ANN_TOPK).select("vec_id")
+    cand = scored.filter(
+        F.col("cell_id").isin(probed_ids) if probed_ids else F.lit(False)
+    )
+    atop = cand.orderBy("adc_dist", "vec_id").limit(_ANN_TOPK).select("vec_id")
     btop = (
-        x.crossJoin(F.broadcast(q))
-        .select("vec_id", l2("xq", "qq", 0, 64).alias("d"))
-        .orderBy("d", "vec_id")
+        (scored if qrows else scored.filter(F.lit(False)))
+        .orderBy("qd", "vec_id")
         .limit(_ANN_TOPK)
         .select("vec_id")
     )
