@@ -112,16 +112,39 @@ def knn_join(
 
     sc = candidates.sparkSession.sparkContext
     q_sel = queries.select("vec_id", "embedding")
-    n_queries = q_sel.count()
-    n_chunks = max(1, -(-n_queries // max_broadcast_rows))
-    if n_chunks > max_chunks:
-        raise ValueError(
-            f"knn_join query side has {n_queries} rows = {n_chunks} "
-            f"broadcast chunks of {max_broadcast_rows}, above the "
-            f"{max_chunks}-pass cap; use the LSH-blocked path "
-            "(ann_topk_lsh) or raise max_broadcast_rows/max_chunks "
-            "explicitly"
-        )
+    # PULL-FIRST sizing (r15): snapshot limit(cap+1) BEFORE any
+    # count().  A query side within the cap — the overwhelmingly
+    # common case — is fully sized by its own bounded snapshot, so
+    # the separate sizing-count job (one full pass + one job barrier
+    # per query BUILD, paid 4x per benched query) disappears.  Only
+    # an over-cap snapshot (cap+1 rows pulled) pays the count, which
+    # then sizes the chunked path exactly as before; a count that
+    # STILL says <= cap contradicts the snapshot (nondeterministic
+    # query side) and raises the r13 single-chunk guard unchanged.
+    # Driver materialization stays bounded by cap+1 rows either way.
+    head_pd = q_sel.limit(max_broadcast_rows + 1).toPandas()
+    if len(head_pd) <= max_broadcast_rows:
+        n_chunks = 1
+    else:
+        n_queries = q_sel.count()
+        n_chunks = max(1, -(-n_queries // max_broadcast_rows))
+        if n_chunks > max_chunks:
+            raise ValueError(
+                f"knn_join query side has {n_queries} rows = {n_chunks} "
+                f"broadcast chunks of {max_broadcast_rows}, above the "
+                f"{max_chunks}-pass cap; use the LSH-blocked path "
+                "(ann_topk_lsh) or raise max_broadcast_rows/max_chunks "
+                "explicitly"
+            )
+        if n_chunks == 1:
+            # cap+1 rows snapshotted but the count says <= cap: the
+            # query side is nondeterministic between evaluations.
+            raise ValueError(
+                f"knn_join query snapshot exceeds max_broadcast_rows"
+                f"={max_broadcast_rows} (the sizing count saw fewer — "
+                "nondeterministic query side?); use ann_topk_lsh/"
+                "ivf_search or raise max_broadcast_rows"
+            )
     if n_chunks > 1:
         # persist() pins ONE evaluation of the query side across the
         # per-chunk toPandas() reads below: if `queries` is
@@ -198,36 +221,39 @@ def knn_join(
 
     scored = None
     for c in range(n_chunks):
-        chunk = (
-            q_sel
-            if n_chunks == 1
-            else q_sel.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == c)
-        )
-        # The sizing count() above and this pull are separate
-        # evaluations; on a NONDETERMINISTIC query side (sample /
-        # limit / unstable shuffle) the snapshot can exceed what the
-        # count saw — in the multi-chunk path too, since the count ran
-        # BEFORE persist() pinned the evaluation the chunks read.
-        # Pulling through limit(bound+1) caps what the DRIVER ever
-        # materializes (r13 ADVICE: the old post-pull check fired only
-        # after the oversized toPandas() had already paid the spike)
-        # while returning every row of an in-bound chunk unchanged.
-        # The single-chunk bound is the cap itself; a hash chunk gets
-        # 2x slack because xxhash64-mod splitting is balanced only in
-        # expectation (n_chunks = ceil(n/cap) puts the mean chunk near
-        # cap, so ordinary variance may nudge one past it) — overflow
-        # past the slack still raises with the same escalation
-        # contract as the max_chunks cap: that scale wants LSH/IVF.
-        bound = max_broadcast_rows if n_chunks == 1 else 2 * max_broadcast_rows
-        qpd = chunk.limit(bound + 1).toPandas()
-        if len(qpd) > bound:
-            raise ValueError(
-                f"knn_join {'query snapshot' if n_chunks == 1 else f'chunk {c}'} "
-                f"exceeds {'max_broadcast_rows' if n_chunks == 1 else '2x max_broadcast_rows'}"
-                f"={bound} (the sizing count saw fewer — "
-                "nondeterministic query side?); use ann_topk_lsh/"
-                "ivf_search or raise max_broadcast_rows"
-            )
+        if n_chunks == 1:
+            # The pull-first snapshot above already delivered the
+            # whole (<= cap) query side — reuse it; the single-chunk
+            # path does exactly ONE pull, one evaluation.
+            qpd = head_pd
+        else:
+            # The sizing count() above and this pull are separate
+            # evaluations; on a NONDETERMINISTIC query side (sample /
+            # limit / unstable shuffle) the snapshot can exceed what
+            # the count saw — in the multi-chunk path too, since the
+            # count ran BEFORE persist() pinned the evaluation the
+            # chunks read.  Pulling through limit(bound+1) caps what
+            # the DRIVER ever materializes (r13 ADVICE: the old
+            # post-pull check fired only after the oversized
+            # toPandas() had already paid the spike) while returning
+            # every row of an in-bound chunk unchanged.  A hash chunk
+            # gets 2x slack because xxhash64-mod splitting is
+            # balanced only in expectation (n_chunks = ceil(n/cap)
+            # puts the mean chunk near cap, so ordinary variance may
+            # nudge one past it) — overflow past the slack still
+            # raises with the same escalation contract as the
+            # max_chunks cap: that scale wants LSH/IVF.
+            chunk = q_sel.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == c)
+            bound = 2 * max_broadcast_rows
+            qpd = chunk.limit(bound + 1).toPandas()
+            if len(qpd) > bound:
+                raise ValueError(
+                    f"knn_join chunk {c} "
+                    f"exceeds 2x max_broadcast_rows"
+                    f"={bound} (the sizing count saw fewer — "
+                    "nondeterministic query side?); use ann_topk_lsh/"
+                    "ivf_search or raise max_broadcast_rows"
+                )
         if len(qpd) == 0:
             continue
         q_ids = qpd["vec_id"].to_numpy()

@@ -690,10 +690,19 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = io.table(spark, sf_dir, "lineitem").select(
         F.floor("l_extendedprice").cast("long").alias("x")
     )
-    n = v.agg(F.count("*").alias("n"))
+    # r15 note: two "fewer-passes" rewrites were tried and REVERTED on
+    # interleaved measurement — hist-from-vals (Σ vn per bin) pushed
+    # the heavy ~100k-key exchange into three consumers (1.26x
+    # slower), and even n-from-hist (Σ bin_n) lost to the dirt-cheap
+    # count(*) scan it replaced (1.18x).  The three independent
+    # passes each keep their cheapest aggregation shape; at scale the
+    # sketch path alone (hist) is what runs, and it is already one
+    # bounded map-side agg.
+    vals = v.groupBy("x").agg(F.count("*").alias("vn"))
     hist = v.groupBy((F.col("x") / _QSK_WIDTH).cast("long").alias("bin")).agg(
         F.count("*").alias("bin_n")
     )
+    n = v.agg(F.count("*").alias("n"))
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.select(
         "bin",
@@ -702,11 +711,7 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("bin_n").over(wb) - F.col("bin_n")).alias("cum_before"),
     )
     wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vcum = (
-        v.groupBy("x")
-        .agg(F.count("*").alias("vn"))
-        .select("x", "vn", F.sum("vn").over(wx).alias("vcum"))
-    )
+    vcum = vals.select("x", "vn", F.sum("vn").over(wx).alias("vcum"))
     q = spark.createDataFrame(
         [(p, lbl) for p, lbl in _QSK_QUANTILES], "pct long, quantile string"
     )

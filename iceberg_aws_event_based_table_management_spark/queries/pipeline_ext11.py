@@ -409,15 +409,26 @@ def survival_km_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    first = p.filter(F.col("rn") == 1).select("user_id", F.col("day").alias("d1"))
-    second = p.filter(F.col("rn") == 2).select("user_id", F.col("day").alias("d2"))
+    # first/second purchase as ONE conditional-agg pivot over rn<=2:
+    # the groupBy(user_id) rides the window's (user_id) partitioning —
+    # no second scan, no self-join shuffle (r15; was
+    # first-LEFT-JOIN-second over two filtered copies of `p`).  d1
+    # always exists (rn=1 exists per user); d2 is NULL for
+    # one-purchase users — exactly the old left join.
+    fs = (
+        p.filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("day"))).alias("d2"),
+        )
+    )
     horizon = (
         io.table(spark, sf_dir, "events")
         .agg(F.max(F.to_date(F.date_trunc("day", "ts"))).alias("dmax"))
     )
     obs = (
-        first.join(second, "user_id", "left")
-        .crossJoin(F.broadcast(horizon))
+        fs.crossJoin(F.broadcast(horizon))
         .select(
             F.when(
                 F.col("d2").isNull(), F.datediff("dmax", "d1")

@@ -157,13 +157,20 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch bit-identical in DuckDB.
 
     Scale shape: the sketch is the point — counters are a FIXED
-    depth x width = 2048-cell grid, so the groupBy partial-aggregates
-    map-side into at most 2048 cells per task regardless of corpus
-    size (this is why CMS exists); the heavy-hitter threshold arrives
-    via a 1-row total relation (broadcast, never a driver constant);
-    the audit join probes the 2048-cell grid (broadcast).  At 100 TB
-    the exact-count side is the expensive anchor the sketch replaces —
-    here it doubles as the oracle."""
+    depth x width = 2048-cell grid; the heavy-hitter threshold
+    arrives via a 1-row total relation (broadcast, never a driver
+    constant); the audit join probes the 2048-cell grid (broadcast).
+    Because this QUERY computes the exact per-token counts anyway
+    (they are the audit anchor), the sketch cells, the stream total,
+    and the hh threshold all RIDE that one aggregation — cells as a
+    vocabulary-sized weighted regroup (Σ exact_cnt per cell IS the
+    occurrence count per cell, definitionally), total as Σ exact_cnt
+    — so the corpus is scanned once and md5 runs once per DISTINCT
+    token instead of 3 scans + md5 per occurrence (r15; guide §1.1
+    minimum-passes: the audit already pays the exact agg, everything
+    else is derivable from it).  A standalone CMS build (no audit)
+    is the same cells groupBy applied to the raw token stream —
+    still an at-most-2048-cell map-side partial agg per task."""
     toks = (
         io.table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
@@ -178,13 +185,16 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    cells = (
-        toks.select(F.posexplode(buckets(F.md5("token"))).alias("r", "bucket"))
-        .groupBy("r", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
-    total = toks.agg(F.count("*").alias("n"))
+    cells = (
+        exact.select(
+            "exact_cnt",
+            F.posexplode(buckets(F.md5("token"))).alias("r", "bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
+    total = exact.agg(F.sum("exact_cnt").alias("n"))
     hh = (
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("exact_cnt") * _CMS_PHI_DEN > F.col("n"))
@@ -954,13 +964,16 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-check counts are what the quarantine router (E58)
     consumes when it isn't.
 
-    Scale shape: every check is a full-scan aggregation with map-side
-    partials (the unique check is count - count_distinct, one
-    exchange); the FK check is a left join that AQE turns
-    broadcast/shuffle-hash as sizes dictate; the union glues 1-row
-    relations.  Checks share scans when Catalyst caches them; at 100
-    TB the per-table checks fuse into one multi-aggregate pass per
-    table (same trick as E35's profiler)."""
+    Scale shape: the four orders checks FUSE into one multi-aggregate
+    pass over the table (map-side partials; the unique check's
+    count - count_distinct shares the same exchange) and unstack into
+    report rows via inline_outer over a 4-struct literal array — one
+    scan per table instead of one per check (r15; the same trick as
+    E35's profiler, previously only documented here).  The range
+    check stays its own scan (a left join can duplicate lineitem rows
+    under FK violations, so riding the join frame would be wrong);
+    the FK check is a left join that AQE turns broadcast/shuffle-hash
+    as sizes dictate; the union glues 1- and 4-row relations."""
     orders = io.table(spark, sf_dir, "orders")
     li = io.table(spark, sf_dir, "lineitem")
 
@@ -972,28 +985,35 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(violation_col, 1)).alias("n_violations"),
         )
 
-    unique = orders.agg(
-        F.lit("o_orderkey_unique").alias("check_name"),
-        F.lit("orders").alias("tbl"),
-        F.count("*").alias("n_rows"),
-        (F.count("*") - F.count_distinct("o_orderkey")).alias("n_violations"),
+    def check_struct(name, violations_col):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.lit("orders").alias("tbl"),
+            F.col("_n").alias("n_rows"),
+            F.col(violations_col).alias("n_violations"),
+        )
+
+    orders_fused = orders.agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("_v_null"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("_v_uniq"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias(
+            "_v_dom"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("_v_pos"),
+    ).select(
+        F.inline(
+            F.array(
+                check_struct("o_custkey_not_null", "_v_null"),
+                check_struct("o_orderkey_unique", "_v_uniq"),
+                check_struct("o_orderstatus_domain", "_v_dom"),
+                check_struct("o_totalprice_positive", "_v_pos"),
+            )
+        )
     )
     fk = li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left")
     return (
-        report("o_custkey_not_null", "orders", orders, F.col("o_custkey").isNull())
-        .unionAll(unique)
-        .unionAll(
-            report(
-                "o_orderstatus_domain",
-                "orders",
-                orders,
-                ~F.col("o_orderstatus").isin("O", "F", "P"),
-            )
-        )
-        .unionAll(
-            report("o_totalprice_positive", "orders", orders, F.col("o_totalprice") <= 0)
-        )
-        .unionAll(
+        orders_fused.unionAll(
             report(
                 "l_quantity_in_1_50",
                 "lineitem",

@@ -141,25 +141,34 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc BM25 scores (doc_id, score_ppm, n_terms, dl) for the
     fixed query, un-truncated — the relation the `bm25` oracle CTE
     mirrors; shared with pipeline_ext10's RRF fusion."""
-    docs = io.table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("ws"),
+    # One narrow per-doc projection: doc length + query-term hits —
+    # both downstream passes read THIS frame, so the corpus text is
+    # split at most twice (stats prunes to dl; the postings pass
+    # reads dl + hits) instead of 4x (r15; was dl, stats, tf and a
+    # dl-join, each re-splitting the corpus).
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    docs = (
+        io.table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("dl"),
+            F.filter("ws", lambda w: F.array_contains(terms, w)).alias("hits"),
+        )
     )
-    dl = docs.select("doc_id", F.size("ws").cast("long").alias("dl"))
-    stats = dl.agg(
+    stats = docs.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
-    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    # dl rides the postings aggregation (min over a constant-per-doc
+    # column) — the old doc-count-sized dl JOIN disappears.
     tf = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.filter(F.col("ws"), lambda w: F.array_contains(terms, w))
-            ).alias("word"),
-        )
+        docs.select("doc_id", "dl", F.explode("hits").alias("word"))
         .groupBy("doc_id", "word")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
     )
     df = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
     a = (
@@ -175,7 +184,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df), "word")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
