@@ -91,7 +91,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}")
     cache = _table_cache_for(spark)
-    key = (os.path.abspath(sf_dir), name)
+    # Memo key includes the table file's mtime (one os.stat, no Spark
+    # job): a REBUILT fixture (scratch dirs populated in stages — the
+    # r11 ADVICE events_max_ts contract, tests/test_streaming.py) must
+    # not come back as the prior build's stale file listing (r15: the
+    # mtime-less memo returned plans whose resolved files no longer
+    # existed).  Missing path -> mtime None; the read below raises its
+    # own clear error.
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (os.path.abspath(sf_dir), name, mtime)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS).  Spark <= 4.0 rejects it
         # unless nanosAsLong is set; Spark >= 4.1 ignores the (removed) conf

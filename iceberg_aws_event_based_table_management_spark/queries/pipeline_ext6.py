@@ -320,6 +320,12 @@ _PF_BCAST_MAX_SHINGLES = 8_000_000
 # THREE full shingle extractions (dfreq, the pref chain, arrs) of the
 # one pass the checkpoint costs.  Module-level so the A/B can flip it.
 _PF_SMALL_CKPT_SH = True
+# Same question for the PREFIX table (self-joined — 2 consumers):
+# False = re-derive per side (the r10 posture, still the measured
+# winner on the small branch: the df-join + double window re-run from
+# the checkpointed sh is cheaper than a second materialization
+# barrier).  Module-level so the A/B can flip it.
+_PF_SMALL_CKPT_PREF = False
 
 
 def _pf_estimated_shingles(sf_dir: str) -> int:
@@ -457,7 +463,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
         .select("doc_id", "shingle", "n", "rn")
     )
-    if not small_corpus:
+    if not small_corpus or _PF_SMALL_CKPT_PREF:
         pref = pref.localCheckpoint(eager=False)
     # Length filter (lossless for J >= 0.5): n_common <= min(a,b) and
     # J >= 1/2 force 2*min(a,b) >= max(a,b), so size-incompatible

@@ -63,3 +63,39 @@ def test_snapshots_projection_matches_cte_columns(spark, sf_dir):
     for c in cols:
         assert c in io.SNAPSHOTS_CTE, f"column {c} missing from SNAPSHOTS_CTE"
     assert cols == {"table_name", "snapshot_id", "ts", "operation"}
+
+
+def test_table_memo_returns_same_handle_and_invalidates_on_rebuild(spark, tmp_path):
+    """The per-session io.table memo (r15 build-latency optimization)
+    must (a) return the SAME DataFrame handle for an unchanged file —
+    that is the whole win, no re-listing — and (b) drop the handle when
+    the fixture file is REBUILT (new mtime): the memo-less failure mode
+    was a stale file listing whose resolved files no longer exist
+    (scratch dirs populated in stages, tests/test_streaming.py)."""
+    import os
+    import shutil
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    d = str(tmp_path / "memo")
+    os.makedirs(d)
+    dst = f"{d}/nation.parquet"
+    shutil.copyfile(src, dst)
+    os.utime(dst, (1_000_000_000, 1_000_000_000))
+
+    df1 = io.table(spark, d, "nation")
+    df2 = io.table(spark, d, "nation")
+    assert df1 is df2, "unchanged file must hit the memo"
+    n1 = df1.count()
+
+    # rebuild: halve the table, bump mtime
+    half = df1.limit(max(1, n1 // 2)).toPandas()
+    os.remove(dst)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(half), dst)
+    os.utime(dst, (2_000_000_000, 2_000_000_000))
+
+    df3 = io.table(spark, d, "nation")
+    assert df3 is not df1, "rebuilt file must MISS the memo"
+    assert df3.count() == max(1, n1 // 2)
