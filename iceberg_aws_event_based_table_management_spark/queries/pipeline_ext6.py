@@ -314,12 +314,19 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it to 0 and lock the no-forced-broadcast plan shape.
 _PF_BCAST_MAX_SHINGLES = 8_000_000
 
-# Checkpoint the shingle table even in the small-corpus regime: the
-# r10 "re-derive, don't materialize" measurement predates the r13-r15
-# plan changes; the r15 stage profile showed the small regime paying
-# THREE full shingle extractions (dfreq, the pref chain, arrs) of the
-# one pass the checkpoint costs.  Module-level so the A/B can flip it.
-_PF_SMALL_CKPT_SH = True
+# Do NOT checkpoint the shingle table in the small-corpus regime (the
+# r10 "re-derive, don't materialize" posture, RE-CONFIRMED r15 on a
+# quiet machine): an early-r15 session measured the checkpoint 0.78×
+# under heavy CPU steal and flipped this True, but with steal at 0%
+# the interleaved ABBA reverses hard — checkpoint-on 1.62× SLOWER than
+# the re-derive plan (4.0 s vs 2.1/2.5 s medians, 16 runs/variant,
+# bench_runs/ab_pf_third.json + ab_pf_ckptoff_vs_base.json): the
+# materialization barrier serializes the three shingle consumers that
+# otherwise run as independent parallel subtrees.  The big-corpus
+# branch (`not small_corpus`) keeps its checkpoint — there the shingle
+# table is shuffle-sized and the three re-extractions dominate.
+# Module-level so the A/B can flip it.
+_PF_SMALL_CKPT_SH = False
 # Same question for the PREFIX table (self-joined — 2 consumers):
 # False = re-derive per side (the r10 posture, still the measured
 # winner on the small branch: the df-join + double window re-run from

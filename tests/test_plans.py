@@ -359,25 +359,19 @@ def test_prefix_filter_broadcast_is_size_conditional(spark, sf_dir, qmap, monkey
     assert analyzed.count("strategy=broadcast") == 3, (
         "small corpus: both set joins + the prefix self-join broadcast-hinted"
     )
-    # r15 re-measurement of the r10 "re-derive, don't materialize"
-    # posture: the small branch now checkpoints the SHINGLE table once
-    # (its extraction fed three consumers — dfreq, the pref chain,
-    # arrs — so re-deriving paid 3 full passes; ABBA 0.78x at sf0.1,
-    # reconfirmed 0.85x) but still must NOT checkpoint the PREFIX
-    # table (the broadcast build re-derives it more cheaply).  A
-    # checkpointed table shows up as a LogicalRDD leaf in the
-    # analyzed plan (printed once PER REFERENCE — the shingle
-    # checkpoint feeds several consumers, so count >= 1, not == 1);
-    # the prefix table is 4 columns (doc_id, shingle, n, rn) and a
-    # leaf with that shape would mean it got checkpointed too.
-    import re as _re
-
-    assert analyzed.count("LogicalRDD") >= 1, (
-        "small corpus lost the shingle-table localCheckpoint"
+    # r15 quiet-box re-measurement CONFIRMED the r10 "re-derive,
+    # don't materialize" posture for the small branch: a mid-r15
+    # session measured a shingle-table checkpoint 0.78x under heavy
+    # CPU steal, but the interleaved ABBA reversed hard once steal
+    # hit 0% — checkpoint-on 1.62x SLOWER (the materialization
+    # barrier serializes the three shingle consumers that otherwise
+    # run as independent parallel subtrees;
+    # bench_runs/ab_pf_third.json, ab_pf_ckptoff_vs_base.json).  So
+    # the small branch must checkpoint NOTHING: no LogicalRDD leaf
+    # (a checkpointed table surfaces as one in the analyzed plan).
+    assert "LogicalRDD" not in analyzed, (
+        "small corpus must re-derive (no checkpoint barriers)"
     )
-    assert not _re.search(
-        r"LogicalRDD \[doc_id#\d+L?, shingle#\d+L?, n#", analyzed
-    ), "small corpus must not checkpoint the PREFIX table"
 
     monkeypatch.setattr(pipeline_ext6, "_PF_BCAST_MAX_SHINGLES", 0)
     big = q(spark, sf_dir)
