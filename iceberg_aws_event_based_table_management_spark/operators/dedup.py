@@ -287,6 +287,7 @@ def jaccard_pairs(
     df_cap: int | None = 1000,
     broadcast_sizes: bool | None = None,
     input_cached: bool = False,
+    cross_at: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
     (optionally restricted to a candidate/block set).
@@ -348,9 +349,32 @@ def jaccard_pairs(
     groups = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     if df_cap is not None:
         groups = groups.filter(F.size("ds") <= df_cap)
-    # ds is ascending and per-doc shingles are distinct, so pairing each
-    # element with its suffix yields every (a < b) pair exactly once
-    pair_structs = _suffix_pair_structs("ds")
+    if cross_at is None:
+        # ds is ascending and per-doc shingles are distinct, so pairing
+        # each element with its suffix yields every (a < b) pair exactly
+        # once
+        pair_structs = _suffix_pair_structs("ds")
+    else:
+        # Incremental admission (E63): only pairs straddling the id
+        # boundary (a < cross_at <= b) can ever survive the cross-set
+        # `block` semi-join, so emit exactly those map-side (the
+        # lsh_candidate_pairs cross_at pattern) instead of emitting
+        # every in-group pair and discarding base x base — the bulk of
+        # a replicated corpus's co-occurring pairs — AFTER the
+        # intersection-count shuffle.  n_common for each surviving
+        # pair counts the same shared shingles, so the scored output
+        # is identical; the pair explode and the inter shuffle shrink
+        # to the cross volume.
+        lo = F.filter(F.col("ds"), lambda x: x < F.lit(cross_at))
+        hi = F.filter(F.col("ds"), lambda x: x >= F.lit(cross_at))
+        pair_structs = F.flatten(
+            F.transform(
+                lo,
+                lambda x: F.transform(
+                    hi, lambda y: F.struct(x.alias("doc_id_a"), y.alias("doc_id_b"))
+                ),
+            )
+        )
     inter = (
         groups.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.doc_id_a").alias("doc_id_a"), F.col("p.doc_id_b").alias("doc_id_b"))
@@ -431,19 +455,31 @@ def simhash(documents: DataFrame, bits: int = 60) -> DataFrame:
     )
     bit_sums = hashed.groupBy("doc_id").agg(F.expr("count(*) AS n"), *packed, *solo)
 
-    def s(b: int) -> str:
-        if bits % 2 and b == bits - 1:
-            return f"s{b}"
-        if b < half:
-            return f"(p{b} & 4294967295)"
-        return f"shiftright(p{b - half}, 32)"
-
-    terms = " + ".join(
-        f"CASE WHEN (2 * {s(b)}) > n THEN CAST({2 ** b} AS BIGINT)"
-        f" ELSE CAST(0 AS BIGINT) END"
-        for b in range(bits)
+    # Reassembly as ONE higher-order aggregate over the packed-counter
+    # array instead of a `bits`-term CASE-WHEN sum: the flat chain was
+    # ~500 expression nodes that Catalyst re-analyzed AND re-planned on
+    # every query build (~0.6 s analysis + ~1.5 s at the consumer's
+    # localCheckpoint physical planning, r15 build profile); the loop
+    # form is ~30 nodes.  Arithmetic is identical lane unpacking
+    # (low 32 bits = count of bit j, high 32 = count of bit j+half;
+    # fingerprint bit set iff 2*count > n), so the fingerprints are
+    # bit-identical — pinned by the property tests and DuckDB oracles.
+    arr_cols = [F.col(f"p{j}") for j in range(half)]
+    extra = [F.col(f"s{bits - 1}")] if bits % 2 else []
+    pa = bit_sums.select("doc_id", "n", F.array(*arr_cols).alias("pa"), *extra)
+    hof = (
+        f"aggregate(sequence(0, {half - 1}), CAST(0 AS BIGINT), (acc, j) -> acc"
+        f" + IF(2 * (element_at(pa, j + 1) & 4294967295) > n,"
+        f" shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"
+        f" + IF(2 * shiftright(element_at(pa, j + 1), 32) > n,"
+        f" shiftleft(CAST(1 AS BIGINT), j + {half}), CAST(0 AS BIGINT)))"
     )
-    fp = bit_sums.select("doc_id", F.expr(terms).alias("simhash"))
+    if bits % 2:
+        hof += (
+            f" + (CASE WHEN 2 * s{bits - 1} > n THEN CAST({2 ** (bits - 1)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    fp = pa.select("doc_id", F.expr(hof).alias("simhash"))
     return fp
 
 

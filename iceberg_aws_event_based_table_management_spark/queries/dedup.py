@@ -552,11 +552,18 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, bands=8, rows_per_band=4, cross_at=_INC_OFFSET
     )
     # sh is checkpointed (unprobeable) — footer-gate the size-join
-    # strategy like dedup_near_verified above (r12 ADVICE).
+    # strategy like dedup_near_verified above (r12 ADVICE).  cross_at
+    # pushes the cross-set restriction into the verify emitter too
+    # (r15): base x base co-occurring pairs — the bulk of the corpus's
+    # pair volume — are never emitted or shuffled into the
+    # intersection count; the block semi-join that used to drop them
+    # post-shuffle now only prunes cross pairs outside the LSH
+    # candidate set.
     cross = D.jaccard_pairs(
         sh, block=cross_cands, threshold=0.5,
         broadcast_sizes=not gates.corpus_exceeds(sf_dir),
         input_cached=True,
+        cross_at=_INC_OFFSET,
     )
     best = (
         cross.groupBy("doc_id_b")

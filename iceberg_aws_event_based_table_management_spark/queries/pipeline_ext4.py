@@ -270,9 +270,15 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once — ~2/(w+1) of the gram rows, three longs a row.
         .localCheckpoint(eager=False)
     )
+    # sel is DISTINCT over (doc_id, n_grams, fp) and n_grams is a
+    # per-doc constant, so (doc_id, fp) rows are unique here and
+    # count(*) per fp IS the distinct-doc count — count-distinct would
+    # plan an extra dedupe exchange (keys=(fp, doc_id)) before the fp
+    # aggregation for rows that are already distinct (r15: 3 -> 2
+    # exchanges on this branch, one HashAggregate phase removed).
     shared = (
         sel.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("fp")
     )

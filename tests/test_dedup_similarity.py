@@ -315,6 +315,32 @@ def test_jaccard_df_cap_preserves_scores_below_cap(spark, docs):
     assert capped == uncapped
 
 
+def test_jaccard_cross_at_equals_filtered_full_emission(spark, docs):
+    """The cross_at verify emitter (E63) must produce EXACTLY the full
+    pair set restricted to (a < cross_at <= b) — same pairs, same
+    n_common/n_a/n_b/jaccard — since it only moves the cross-set
+    restriction from a post-shuffle semi-join into the map-side pair
+    emission.  Built over a replicated corpus so base x base and
+    batch x batch co-occurring pairs exist and MUST be absent."""
+    base = docs.limit(40)
+    off = 1_000_000
+    batch = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"), "text"
+    )
+    combined = base.unionByName(batch)
+    sh = D.shingles(combined, 3)
+    full = {
+        tuple(r)
+        for r in D.jaccard_pairs(sh, threshold=0.3).collect()
+        if r.doc_id_a < off <= r.doc_id_b
+    }
+    cross = {
+        tuple(r)
+        for r in D.jaccard_pairs(sh, threshold=0.3, cross_at=off).collect()
+    }
+    assert cross == full and len(cross) > 0
+
+
 def test_shingles_no_shuffle_on_wide_input(spark, docs):
     """The 100 TB contract: when the input already has parallel splits,
     shingle extraction must not move corpus text (no Exchange in the
