@@ -159,7 +159,9 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32, with_count: bool = False
+) -> DataFrame:
     """MinHash signature per doc: for each of `num_hashes` seeded hash
     functions, the min over the doc's shingles.  Computed as ONE
     aggregation of `num_hashes` independent min(xxhash64) accumulators
@@ -173,8 +175,17 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     # query BUILD (guide §3.3 — plan construction was the bottleneck,
     # profiled r15); one F.expr parse is a single round-trip and yields
     # the identical Catalyst tree (int seed literal, same xxhash64).
+    # `with_count` additionally emits n_shingles from the SAME
+    # aggregation — the fused (signature, size) pass for callers that
+    # would otherwise run a second groupBy(doc_id) over the same
+    # shingle table just to count it (jaccard_pairs' sizes): one
+    # corpus-row pass and one doc-keyed shuffle instead of two (§1.1
+    # minimum passes).  The signature values are identical either way.
     mins = ", ".join(f"min(xxhash64(shingle, {i}))" for i in range(num_hashes))
-    return sh.groupBy("doc_id").agg(F.expr(f"array({mins}) AS signature"))
+    aggs = [F.expr(f"array({mins}) AS signature")]
+    if with_count:
+        aggs.append(F.expr("count(*) AS n_shingles"))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def band_table(
@@ -288,6 +299,7 @@ def jaccard_pairs(
     broadcast_sizes: bool | None = None,
     input_cached: bool = False,
     cross_at: int | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
     (optionally restricted to a candidate/block set).
@@ -345,7 +357,13 @@ def jaccard_pairs(
         # removes a serial materialization barrier and its build-time
         # physical-planning pass (r15 profile).
         sh = sh.localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # else: caller supplies (doc_id, n_shingles) — typically riding the
+    # MinHash signature aggregation (minhash_signatures with_count), so
+    # the shingle table is aggregated by doc_id ONCE instead of twice.
+    # Per-doc shingles are distinct, so any per-doc count of the same
+    # table is the same number.
     groups = sh.groupBy("shingle").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
     if df_cap is not None:
         groups = groups.filter(F.size("ds") <= df_cap)

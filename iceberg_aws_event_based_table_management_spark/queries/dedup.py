@@ -236,12 +236,20 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     local, no driver traffic — on a cluster this is persist())."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = D.shingles(docs, 3).localCheckpoint(eager=False)
-    # sig feeds ONLY the (now single-shuffle) band pipeline — no
-    # checkpoint: each localCheckpoint pays a full physical-planning
-    # pass at query-build time (r15 profile), so single-consumer
-    # frames stay lazy.
-    sig = D.minhash_signatures(sh, num_hashes=32)
-    cands = D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+    # prof feeds the band pipeline (signature) AND the verify stage's
+    # per-doc sizes from ONE groupBy(doc_id) — the separate
+    # sizes-count aggregation was a second full pass + doc-keyed
+    # shuffle over the same checkpointed shingle table.  The
+    # checkpoint is what makes the fusion real: unmaterialized,
+    # column pruning rewrites the sizes consumer back to its own
+    # count-only aggregation (verified in the physical plan — the
+    # winnow lesson again).  prof is doc-count-sized (33 longs/doc).
+    prof = D.minhash_signatures(sh, num_hashes=32, with_count=True).localCheckpoint(
+        eager=False
+    )
+    cands = D.lsh_candidate_pairs(
+        prof.select("doc_id", "signature"), bands=8, rows_per_band=4
+    )
     # The checkpointed shingle table is unprobeable (no inputFiles), so
     # jaccard_pairs' self-probe would pin the shuffle plan at every sf;
     # the FOOTER gate keeps the small-corpus broadcast fast path and
@@ -250,6 +258,7 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, block=cands, threshold=0.5,
         broadcast_sizes=not gates.corpus_exceeds(sf_dir),
         input_cached=True,
+        sizes=prof.select("doc_id", "n_shingles"),
     )
     return verified.select(
         "doc_id_a", "doc_id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
@@ -535,11 +544,15 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     combined = base.unionByName(batch)
     # sh feeds signatures AND verification — materialize once
-    # (executor-local); sig feeds only the single-shuffle band
-    # pipeline, so it stays lazy (no checkpoint = no build-time
-    # planning pass, r15).
+    # (executor-local).
     sh = D.shingles(combined, 3).localCheckpoint(eager=False)
-    sig = D.minhash_signatures(sh, num_hashes=32)
+    # One groupBy(doc_id) yields signatures AND the verify stage's
+    # per-doc sizes (minhash_signatures with_count) — checkpointed so
+    # column pruning cannot split the consumers back into two
+    # aggregations over sh (the dedup_near_verified fusion, r15).
+    prof = D.minhash_signatures(sh, num_hashes=32, with_count=True).localCheckpoint(
+        eager=False
+    )
     # Emission is restricted to cross pairs INSIDE the band emitter
     # (cross_at): base ids < offset <= batch ids, so (a < offset <= b)
     # is exactly the base x batch candidate set.  Admission only ever
@@ -549,7 +562,8 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair explode + distinct (identical output, candidate work
     # ∝ cross candidates only).
     cross_cands = D.lsh_candidate_pairs(
-        sig, bands=8, rows_per_band=4, cross_at=_INC_OFFSET
+        prof.select("doc_id", "signature"), bands=8, rows_per_band=4,
+        cross_at=_INC_OFFSET,
     )
     # sh is checkpointed (unprobeable) — footer-gate the size-join
     # strategy like dedup_near_verified above (r12 ADVICE).  cross_at
@@ -564,6 +578,7 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_sizes=not gates.corpus_exceeds(sf_dir),
         input_cached=True,
         cross_at=_INC_OFFSET,
+        sizes=prof.select("doc_id", "n_shingles"),
     )
     best = (
         cross.groupBy("doc_id_b")

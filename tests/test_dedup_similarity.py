@@ -315,6 +315,30 @@ def test_jaccard_df_cap_preserves_scores_below_cap(spark, docs):
     assert capped == uncapped
 
 
+def test_fused_signature_count_matches_separate_passes(spark, docs):
+    """minhash_signatures(with_count=True) must return the identical
+    signatures as the plain call PLUS the same per-doc shingle count a
+    separate groupBy would compute, and jaccard_pairs fed that fused
+    sizes frame must be bit-identical to its self-computed sizes —
+    the fusion only merges two aggregations of the same table."""
+    sh = D.shingles(docs.limit(60), 3)
+    prof = {r.doc_id: (tuple(r.signature), r.n_shingles)
+            for r in D.minhash_signatures(sh, 32, with_count=True).collect()}
+    sig = {r.doc_id: tuple(r.signature)
+           for r in D.minhash_signatures(sh, 32).collect()}
+    cnt = {r.doc_id: r.n
+           for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert {k: v[0] for k, v in prof.items()} == sig
+    assert {k: v[1] for k, v in prof.items()} == cnt
+    sizes = D.minhash_signatures(sh, 32, with_count=True).select(
+        "doc_id", "n_shingles"
+    )
+    with_sizes = {tuple(r) for r in
+                  D.jaccard_pairs(sh, threshold=0.3, sizes=sizes).collect()}
+    plain = {tuple(r) for r in D.jaccard_pairs(sh, threshold=0.3).collect()}
+    assert with_sizes == plain
+
+
 def test_jaccard_cross_at_equals_filtered_full_emission(spark, docs):
     """The cross_at verify emitter (E63) must produce EXACTLY the full
     pair set restricted to (a < cross_at <= b) — same pairs, same
