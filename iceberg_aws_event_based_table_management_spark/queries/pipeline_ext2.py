@@ -106,19 +106,30 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
         .select("shingle")
     )
-    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    n_boiler = (
-        sh.join(boiler, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_boiler"))
+    # Totals and boilerplate counts in ONE pass: left-join the (tiny,
+    # broadcast) boiler set onto the shingle rows and aggregate by
+    # doc_id once — the former shape aggregated sh by doc_id twice
+    # (plain count + post-inner-join count) and joined the two
+    # doc-sized results back together.  The broadcast probe work is
+    # unchanged (the inner join probed every sh row too); one sh scan,
+    # one doc-keyed exchange, and the final doc_id join disappear
+    # (r15, the CMS/dq ride-one-scan move).  boiler rows are distinct
+    # shingles, so the left join duplicates nothing.
+    flagged = sh.join(
+        boiler.withColumn("is_boiler", F.lit(1)), "shingle", "left"
     )
-    return per_doc.join(n_boiler, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
-        F.round(
-            F.coalesce(F.col("n_boiler"), F.lit(0)) / F.col("n_shingles"), 6
-        ).alias("boiler_frac"),
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_frac"),
+        )
     )
 
 
