@@ -109,7 +109,7 @@ def _estimate_input_splits(d: DataFrame) -> int | None:
     return n
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+def shingles(documents: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
     Formulated as arrays_zip of the word array with its shifted slices
@@ -117,7 +117,19 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     transform would re-evaluate it per element, ~40% slower), the whole
     op is narrow (no shuffle), and docs shorter than n yield no
     shingles.  Only n=3 is wired (the standard near-dup shingle width).
-    """
+
+    `hashed=True` emits the 64-bit xxhash64 of the word triple instead
+    of the joined string — for consumers that only ever use shingles
+    as equality keys (jaccard_pairs hashes them immediately anyway):
+    the ~30-byte gram string is never materialized and array_distinct
+    runs over 8-byte longs.  Distinctness and co-occurrence are
+    identical up to the SAME ~2^-64 collision class the hashed join
+    key already accepts (word -> string mapping is injective for
+    whitespace-split words, and a 3-gram join string is never empty,
+    so the string form's empty-filter has no analogue to replicate).
+    MinHash consumers need the string (seeded xxhash64(shingle, i)
+    signatures are pinned by the candidate-set oracles) and must NOT
+    pass this."""
     if n != 3:
         raise NotImplementedError("shingles() is specialized for n=3")
     # Extraction is narrow — no shuffle on a real corpus, where input
@@ -147,6 +159,16 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         d = d.repartition(spread, "doc_id")
     d = d.withColumn("w", F.split(F.lower("text"), r"\s+"))
     z = F.arrays_zip(F.col("w"), F.slice("w", 2, 1_000_000_000), F.slice("w", 3, 1_000_000_000))
+    if hashed:
+        gram = F.transform(
+            z, lambda s: F.when(s["2"].isNotNull(), F.xxhash64(s["w"], s["1"], s["2"]))
+        )
+        return d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.filter(gram, lambda g: g.isNotNull()))).alias(
+                "shingle"
+            ),
+        )
     gram = F.transform(
         z, lambda s: F.when(s["2"].isNotNull(), F.concat_ws(" ", s["w"], s["1"], s["2"]))
     )
@@ -347,7 +369,11 @@ def jaccard_pairs(
     if broadcast_sizes is None:
         nbytes = _stat_input_bytes(sh)
         broadcast_sizes = nbytes is not None and nbytes <= _SIZES_BROADCAST_SAFE_BYTES
-    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    from pyspark.sql.types import LongType
+
+    if not isinstance(sh.schema["shingle"].dataType, LongType):
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # else: shingles(hashed=True) input — already the 8-byte key.
     if not input_cached:
         # The hashed projection feeds two consumers (sizes, groups) —
         # materialize once so a fresh shingle extraction does not run

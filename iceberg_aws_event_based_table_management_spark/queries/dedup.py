@@ -140,7 +140,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective candidate generator; at scale it runs AFTER LSH blocking
     (dedup_near_candidates) so only candidates are verified."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = D.shingles(docs, 3)
+    # hashed=True: shingles here are pure equality keys (jaccard_pairs
+    # hashes them immediately anyway) — skip materializing the gram
+    # strings (r15, §2.3 narrower types at the hottest row count).
+    sh = D.shingles(docs, 3, hashed=True)
     pairs = D.jaccard_pairs(sh, threshold=0.5)
     return pairs.select(
         "doc_id_a",
@@ -316,7 +319,7 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness canonicalizes results with pandas sort_values, which cannot
     sort rows on list-valued cells (r4 driver TypeError)."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = D.jaccard_pairs(D.shingles(docs, 3), threshold=0.5)
+    pairs = D.jaccard_pairs(D.shingles(docs, 3, hashed=True), threshold=0.5)
     comp = D.connected_components(pairs)
     return comp.groupBy("component_id").agg(
         F.count("*").alias("n_docs"),
@@ -794,7 +797,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(w, 1, n_keep), " ").alias("text"),
     )
     aug = docs.unionByName(trunc)
-    pairs = D.jaccard_pairs(D.shingles(aug, 3), threshold=0.0)
+    pairs = D.jaccard_pairs(D.shingles(aug, 3, hashed=True), threshold=0.0)
     containment = F.col("n_common").cast("double") / F.least("n_a", "n_b")
     return (
         pairs.filter(containment >= 0.8)

@@ -886,7 +886,7 @@ def dedup_pair_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle_hash; below, the broadcast plans stay byte-identical.
     big = gates.corpus_exceeds(sf_dir)
     pairs = D.jaccard_pairs(
-        D.shingles(docs, 3), threshold=0.5, broadcast_sizes=not big
+        D.shingles(docs, 3, hashed=True), threshold=0.5, broadcast_sizes=not big
     ).select("doc_id_a", "doc_id_b")
     if big:
         pgrams = pgrams.hint("shuffle_hash")

@@ -344,7 +344,7 @@ def dedup_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = D.jaccard_pairs(D.shingles(docs, 3), threshold=0.5).select(
+    pairs = D.jaccard_pairs(D.shingles(docs, 3, hashed=True), threshold=0.5).select(
         "doc_id_a", "doc_id_b"
     )
     ends = pairs.select(F.col("doc_id_a").alias("doc_id")).unionAll(

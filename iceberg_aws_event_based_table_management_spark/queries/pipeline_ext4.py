@@ -141,7 +141,9 @@ def split_cluster_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment reproducible across engines and reruns (auditable,
     like E79's sampler)."""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    pairs = D.jaccard_pairs(D.shingles(docs.select("doc_id", "text"), 3), threshold=0.5)
+    pairs = D.jaccard_pairs(
+        D.shingles(docs.select("doc_id", "text"), 3, hashed=True), threshold=0.5
+    )
     comp = D.connected_components(pairs)
     assign = docs.join(comp, "doc_id", "left").select(
         "doc_id",

@@ -315,6 +315,21 @@ def test_jaccard_df_cap_preserves_scores_below_cap(spark, docs):
     assert capped == uncapped
 
 
+def test_hashed_shingles_jaccard_matches_string_form(spark, docs):
+    """shingles(hashed=True) feeds jaccard_pairs pre-hashed 64-bit keys
+    (skipping the gram-string materialization); the scored pair output
+    must be bit-identical to the string form — the hash basis only
+    changes WHICH 64-bit key represents each gram, not distinctness or
+    co-occurrence (absent a collision, the accepted ~2^-64 class)."""
+    d = docs.limit(80)
+    via_str = {tuple(r) for r in
+               D.jaccard_pairs(D.shingles(d, 3), threshold=0.3).collect()}
+    via_hash = {tuple(r) for r in
+                D.jaccard_pairs(D.shingles(d, 3, hashed=True), threshold=0.3).collect()}
+    assert via_hash == via_str and len(via_hash) > 0
+    assert dict(D.shingles(d, 3, hashed=True).dtypes)["shingle"] == "bigint"
+
+
 def test_fused_signature_count_matches_separate_passes(spark, docs):
     """minhash_signatures(with_count=True) must return the identical
     signatures as the plain call PLUS the same per-doc shingle count a
