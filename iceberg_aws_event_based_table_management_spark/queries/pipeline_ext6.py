@@ -436,7 +436,17 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tables (the r10 x30 cliff fix: without materialization the
     # ranking chain executes once per alias and the x30 probe paid 5x).
     small_corpus = _pf_estimated_shingles(sf_dir) <= _PF_BCAST_MAX_SHINGLES
-    sh = D.shingles(docs, 3)
+    # hashed=True (r15): every downstream use is key-equality or the
+    # (df, shingle) total order — the prefix-filtering theorem needs
+    # only SOME consistent global total order with df ascending, so
+    # ordering ties by the 64-bit gram hash instead of the gram string
+    # yields different prefixes but the SAME verified pair set (recall
+    # is by construction for any consistent order; verification is
+    # exact).  Gram strings are never materialized; the df join, both
+    # ranking windows, the prefix self-join, and the set arrays all
+    # carry 8-byte longs (the verification already hashed — its
+    # ~2^-64 collision note covers the whole pipeline now).
+    sh = D.shingles(docs, 3, hashed=True)
     if not small_corpus or _PF_SMALL_CKPT_SH:
         sh = sh.localCheckpoint(eager=False)
     # Only non-singleton shingles need a df row: absent means df=1
@@ -552,7 +562,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sets shuffle-join on doc_id — the 100 TB path, work still
     # ∝ Σ_cand(|A|+|B|) — instead of OOMing the driver.
     arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.xxhash64("shingle"))).alias("sset"),
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
         F.count("*").alias("n"),
     )
     if small_corpus:
