@@ -822,8 +822,13 @@ def segment_dedup_stats(documents: DataFrame, seg_words: int = 16) -> DataFrame:
     (n_segments, n_dup_segments, dup_fraction).
 
     One shuffle total: the first-occurrence rule is a single
-    row_number window over sha2(segment) — uniform 256-bit key, no
-    skew; the per-doc rollup partial-aggregates map-side."""
+    row_number window over the segment hash — computed MAP-SIDE so the
+    shuffle carries an 8-byte xxhash64 key per row instead of the
+    ~100-byte segment string it used to re-sort on (r15, §2.3 shuffle
+    fewer bytes; the hash is an internal equality key — the oracle's
+    sha256 partitioning is reproduced up to the same ~2^-64 collision
+    class the repo's other hashed keys accept).  Uniform key, no skew;
+    the per-doc rollup partial-aggregates map-side."""
     d = documents.withColumn("w", F.split(F.lower("text"), r"\s+"))
     nseg = F.ceil(F.size("w") / F.lit(seg_words)).cast("int")
     segs = d.select(
@@ -831,13 +836,15 @@ def segment_dedup_stats(documents: DataFrame, seg_words: int = 16) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), nseg - 1),
-                lambda s: F.array_join(F.slice("w", s * seg_words + 1, seg_words), " "),
+                lambda s: F.xxhash64(
+                    F.array_join(F.slice("w", s * seg_words + 1, seg_words), " ")
+                ),
             )
-        ).alias("seg_no", "seg"),
+        ).alias("seg_no", "h"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.sha2("seg", 256)).orderBy("doc_id", "seg_no")
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_no")
     r = segs.withColumn("rn", F.row_number().over(w))
     dup = F.sum((F.col("rn") > 1).cast("long"))
     return r.groupBy("doc_id").agg(

@@ -705,7 +705,11 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), nseg - 1),
-                lambda s: F.sha2(F.array_join(F.slice("w", s * 16 + 1, 16), " "), 256),
+                # xxhash64 internal equality key (r15): the oracle's
+                # sha256 only ever feeds the group-by; same ~2^-64
+                # collision class as the repo's other hashed keys,
+                # 8-byte shuffle rows instead of 64-char hex.
+                lambda s: F.xxhash64(F.array_join(F.slice("w", s * 16 + 1, 16), " ")),
             )
         ).alias("h"),
     ).distinct()
