@@ -74,8 +74,11 @@ def text_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     ev = docs.filter(F.col("doc_id") % 100 == 0)
     tr = docs.filter(F.col("doc_id") % 100 != 0)
-    ev_sh = D.shingles(ev, 3).withColumnRenamed("doc_id", "eval_doc_id")
-    tr_sh = D.shingles(tr, 3)
+    # hashed=True on BOTH sides (consistent basis — r15): the shingle
+    # is a pure equality key, so the broadcast eval index carries
+    # 8-byte longs instead of gram strings.
+    ev_sh = D.shingles(ev, 3, hashed=True).withColumnRenamed("doc_id", "eval_doc_id")
+    tr_sh = D.shingles(tr, 3, hashed=True)
     sizes = tr_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         tr_sh.join(F.broadcast(ev_sh), "shingle")
@@ -942,11 +945,24 @@ def text_interdoc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup partial-aggregates.  No self-join, no pair explosion — cost
     is linear in total shingles.  (Since shingles() emits per-doc
     DISTINCT grams, COUNT(*) per gram IS its document frequency.)"""
-    sh = D.shingles(io.table(spark, sf_dir, "documents").select("doc_id", "text"), 3)
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    shared = F.sum((F.col("df") >= 2).cast("long"))
+    # hashed=True: grams are pure equality keys here (r15).  The join
+    # side carries ONLY the df>=2 grams (absent means df=1 — the vast
+    # majority at web scale, the E50 boilerplate-index lesson), so the
+    # vocabulary-sized df table never sits on a join side; a left join
+    # with a presence flag replaces the inner join against the full df
+    # table (every row matched anyway, so totals are unchanged).
+    sh = D.shingles(
+        io.table(spark, sf_dir, "documents").select("doc_id", "text"), 3, hashed=True
+    )
+    dfc = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle", F.lit(1).alias("is_shared"))
+    )
+    shared = F.sum(F.coalesce("is_shared", F.lit(0)).cast("long"))
     return (
-        sh.join(dfc, "shingle")
+        sh.join(dfc, "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

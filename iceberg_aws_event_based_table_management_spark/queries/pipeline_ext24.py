@@ -144,26 +144,31 @@ def minhash_jaccard_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence(0, size-3) form this replaces crashed on short docs —
     # Spark's sequence(0, -1) is the DESCENDING [0, -1], not empty
     # (round-9 ADVICE, high).
-    grams = D.shingles(docs, 3)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("n_common"))
+    # The shingle table feeds the pair pipeline AND the signature agg —
+    # materialize once (it used to re-derive per alias: a-side, b-side,
+    # sizes, sigs = FOUR extractions; the r10 x30 profile class).  The
+    # exact-pair side is jaccard_pairs' grouped posting-list emission
+    # (one shuffle of the hashed shingle table) instead of the former
+    # two-sided self-join + two size joins; n_common/n_a/n_b and the
+    # jaccard double are the identical expressions, so y = floor(j*1e6)
+    # is bit-identical (r15; same df_cap posture as dedup_ngram_jaccard
+    # — fixture max df 25, cap semantics documented in the operator).
+    # Signatures keep the STRING shingles (seeded md5 hashes pinned by
+    # the oracle); jaccard_pairs hashes its keys internally.
+    from ..operators import gates
+
+    sh = D.shingles(docs, 3).localCheckpoint(eager=False)
+    prs = D.jaccard_pairs(
+        sh,
+        threshold=_MHR_MIN_JACCARD,
+        broadcast_sizes=not gates.corpus_exceeds(sf_dir),
+        input_cached=True,
+    ).select(
+        F.col("doc_id_a").alias("da"),
+        F.col("doc_id_b").alias("db"),
+        F.floor(F.col("jaccard") * 1000000).cast("long").alias("y"),
     )
-    prs = (
-        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
-        .withColumn(
-            "jac",
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")),
-        )
-        .filter(F.col("jac") >= _MHR_MIN_JACCARD)
-        .select("da", "db", F.floor(F.col("jac") * 1000000).cast("long").alias("y"))
-    )
-    sigs = grams.groupBy("doc_id").agg(
+    sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(_neutral_seeded_hash(F.col("shingle"), i)).alias(f"h{i}")
             for i in range(_MHR_K)
