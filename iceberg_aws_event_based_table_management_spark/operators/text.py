@@ -9,8 +9,22 @@ scale embarrassingly (no shuffle except final aggregations).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Build-cost memoization (r15 VERDICT #4, guide §1 build cost): the
+# column builders below are INPUT-INDEPENDENT expression templates —
+# they reference only the unresolved col("text") and literals — so the
+# Column tree can be built once per process and reused across query
+# builds.  A Column is an immutable wrapper over an unresolved
+# Catalyst expression: no data, no session state, resolution happens
+# per-plan, so the produced plans are bit-identical to rebuilding the
+# tree each call (unlike the expr-string route, which risks subtle
+# parse drift).  The py4j round-trips that dominated these builders'
+# build time (~40-60 calls each for the lambda-heavy trees) are paid
+# once instead of once per query build.
 
 # A small function-word profile per language-analog.  The fixture's
 # `lang` column is the ground truth; the classifier must not peek at it.
@@ -21,6 +35,7 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+@functools.lru_cache(maxsize=None)
 def token_count_col() -> F.Column:
     """The BPE-ish token count as a bare column expression, so
     compositions (pipeline_training_corpus) can add it map-side
@@ -48,6 +63,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _quality_parts() -> tuple[F.Column, F.Column, F.Column, F.Column]:
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n_words = F.size(words).cast("double")
@@ -177,6 +193,7 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _heuristic_parts():
     """(n_words, mean_word_len, symbol_ratio, has_stop, keep) as bare
     columns, shared by the standalone operator and compositions."""
@@ -231,6 +248,22 @@ def heuristic_filter(documents: DataFrame) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _chunk_structs(chunk_size: int, stride: int) -> F.Column:
+    """The per-row chunk array for chunk_documents, keyed by
+    (chunk_size, stride) — input-independent (see the memo note at the
+    top of this module)."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(words, s + 1, chunk_size)).alias("chunk_text"),
+            F.least(F.size(words) - s, F.lit(chunk_size)).cast("long").alias("n_chunk_words"),
+        ),
+    )
+
+
 def chunk_documents(
     documents: DataFrame,
     chunk_size: int = 32,
@@ -244,15 +277,7 @@ def chunk_documents(
     shuffle, output partitioning inherits the input's.  `keep_cols`
     are carried through onto every chunk row (dimension columns like
     source/lang)."""
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            F.concat_ws(" ", F.slice(words, s + 1, chunk_size)).alias("chunk_text"),
-            F.least(F.size(words) - s, F.lit(chunk_size)).cast("long").alias("n_chunk_words"),
-        ),
-    )
+    chunks = _chunk_structs(chunk_size, stride)
     return documents.select(
         "doc_id", *keep_cols, F.posexplode(chunks).alias("chunk_id", "c")
     ).select(
@@ -264,6 +289,7 @@ def chunk_documents(
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _repetition_parts():
     """(n_words, dup_word_ratio, top_bigram_ratio) as bare columns
     (rounded to 6), shared by the standalone operator and
@@ -294,6 +320,7 @@ def _repetition_parts():
     return n_words, dup_ratio, top_ratio
 
 
+@functools.lru_cache(maxsize=None)
 def repetition_keep_col(max_dup: float = 0.6, max_top_bigram: float = 0.1) -> Column:
     """The Gopher-rule conjunction as a bare column for in-place
     composition filtering (thresholds on the ROUNDed ratios, so the

@@ -911,22 +911,25 @@ def load() -> None:
         "split_cluster_holdout",
     ]
 
-    # ROUND-16 PLAN (authored in round 15, same staging discipline).
-    # The NINTH fresh canary sample = the post-r15 stale frontier —
-    # the 20 remaining r8 grades and all 21 r9 grades (41 names, the
-    # ENTIRE <=r9 ledger) — plus 9 fillers drawn NOT from the r10
-    # cohort by pure staleness but from the re-grade-on-new-plan
-    # cohort: every query whose plan was rewritten onto the
-    # operators/skew devices (r14: abc_xyz_inventory,
-    # lift_curve_deciles, sessionization_gap_stats,
-    # rfm_customer_segments, sort_compaction_zorder_quantile; r15:
-    # matched_pairs_by_decile, pack_sequences_token_budget,
-    # shard_assignment_balanced) or had its bucket arithmetic made
-    # exact (r15: udtf_binpack_per_table) AFTER its latest driver
-    # grade — the same fresh-grade-on-new-plan priority the r13
-    # verdict set for sort_compaction_order.  After this window grades,
-    # every rewritten plan carries a post-rewrite driver grade and no
-    # ledger entry is older than r10; round 17 rotates the r10 cohort.
+    # ROUND-16 PLAN (authored in round 15, REVISED in round 16 per the
+    # r15 VERDICT "Next round #2").  The NINTH fresh canary sample is
+    # built on the re-grade-on-new-plan priority first, staleness
+    # second: the r15 optimization round rewrote EIGHT more plans that
+    # appear in no graded window (survival_km_repurchase's pivot,
+    # dq_expectations_report's fused checks, minhash_jaccard_regression
+    # / text_interdoc_ngram_coverage / text_contamination_eval_overlap
+    # / dedup_pair_span_align / dedup_degree_profile's posting-list +
+    # hashed-shingle forms, dedup_cross_source_matrix's xxhash64 key) —
+    # they take the 8 window slots previously held by never-rewritten
+    # r9 trivial scans (scan_parquet, scan_projection,
+    # scan_pushdown_filter, filter_predicates, project_arithmetic,
+    # case_when_bucket, agg_count_distinct,
+    # join_broadcast_nation_region), whose plans are untouched since
+    # their r9 green and carry the least regression risk.  The rest is
+    # the post-r15 stale frontier (all 20 remaining r8 grades, the
+    # other 13 r9 grades) plus the 9 r14/r15 skew-device fillers —
+    # after this window grades, EVERY rewritten plan carries a
+    # post-rewrite driver grade.
     canaries_r16 = [
         # r8 grades (all 20 remaining — the 10 r15 holds + 10 more)
         "acf_daily_lags",
@@ -949,28 +952,30 @@ def load() -> None:
         "topk_orders_by_price",
         "topk_similarity_bruteforce",
         "window_rank_orders_per_cust",
-        # r9 grades (all 21)
-        "agg_count_distinct",
+        # r9 grades (13 of 21 — the 8 trivial scans ceded their slots)
         "agg_rollup_by_nation_region",
         "agg_salted_two_stage",
-        "case_when_bucket",
         "composite_local_supplier_volume",
         "dedup_near_clusters",
-        "filter_predicates",
         "join_anti_customers_without_orders",
-        "join_broadcast_nation_region",
         "join_outer_customer_orders",
         "join_range_events_windows",
         "join_semi_customers_with_orders",
-        "project_arithmetic",
-        "scan_parquet",
-        "scan_projection",
-        "scan_pushdown_filter",
         "sort_compaction_zorder",
         "sort_global_topcustomers",
         "stream_join_view_purchase",
         "stream_merge_upsert",
         "stream_session_real",
+        # r15-rewritten plans with no post-rewrite driver grade
+        # (r15 VERDICT "What's wrong #2" / "Next round #2")
+        "dedup_cross_source_matrix",
+        "dedup_degree_profile",
+        "dedup_pair_span_align",
+        "dq_expectations_report",
+        "minhash_jaccard_regression",
+        "survival_km_repurchase",
+        "text_contamination_eval_overlap",
+        "text_interdoc_ngram_coverage",
         # re-grade-on-new-plan fillers (plan changed after last grade)
         "abc_xyz_inventory",
         "lift_curve_deciles",

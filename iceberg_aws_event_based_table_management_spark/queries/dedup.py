@@ -99,7 +99,13 @@ def dedup_near_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = D.shingles(docs, 3)
     sig = D.minhash_signatures(sh, num_hashes=32)
-    return D.lsh_candidate_pairs(sig, bands=8, rows_per_band=4)
+    # footer row count bounds every bucket's membership (no Spark job)
+    # — the hot-bucket split engages only when a bucket COULD exceed
+    # the cap (r16, from the r15 VERDICT #1).
+    return D.lsh_candidate_pairs(
+        sig, bands=8, rows_per_band=4,
+        max_corpus_docs=io.parquet_num_rows(sf_dir, "documents"),
+    )
 
 
 _GRAMS_CTE = r"""
@@ -251,7 +257,8 @@ def dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     cands = D.lsh_candidate_pairs(
-        prof.select("doc_id", "signature"), bands=8, rows_per_band=4
+        prof.select("doc_id", "signature"), bands=8, rows_per_band=4,
+        max_corpus_docs=io.parquet_num_rows(sf_dir, "documents"),
     )
     # The checkpointed shingle table is unprobeable (no inputFiles), so
     # jaccard_pairs' self-probe would pin the shuffle plan at every sf;
@@ -564,9 +571,14 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 dropped them before the size joins, r15 drops them before
     # the pair explode + distinct (identical output, candidate work
     # ∝ cross candidates only).
+    # combined = base (0.8n) + offset batch (0.2n) + edited re-ingests
+    # (0.1n) = 1.1n docs; 1.2x margin keeps the footer bound an upper
+    # bound on any bucket's membership.
+    _n_docs = io.parquet_num_rows(sf_dir, "documents")
     cross_cands = D.lsh_candidate_pairs(
         prof.select("doc_id", "signature"), bands=8, rows_per_band=4,
         cross_at=_INC_OFFSET,
+        max_corpus_docs=None if _n_docs is None else int(_n_docs * 1.2),
     )
     # sh is checkpointed (unprobeable) — footer-gate the size-join
     # strategy like dedup_near_verified above (r12 ADVICE).  cross_at

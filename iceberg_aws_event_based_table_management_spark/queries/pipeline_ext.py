@@ -500,12 +500,27 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = scored.join(comp, "doc_id", "left").withColumn(
         "component_id", F.coalesce("component_id", "doc_id")
     )
-    w = Window.partitionBy("component_id").orderBy(F.desc("q"), F.asc("doc_id"))
-    ranked = labeled.withColumn("r", F.row_number().over(w))
-    return ranked.groupBy("component_id").agg(
+    # Survivor = argmax by (q DESC, doc_id ASC), expressed as ONE hash
+    # aggregation via max(struct(q, -doc_id)) instead of the former
+    # row_number window + groupBy (r16, guide §2.3): the window needed
+    # a full sort of the corpus rows within each component partition
+    # and shipped EVERY doc row through the component_id exchange; the
+    # struct-max aggregate is map-side partial — the exchange carries
+    # one partial row per (component x map partition) and no sort
+    # runs.  Tie/null semantics are identical: struct comparison is
+    # lexicographic, -doc_id turns the ASC tiebreak into a max, and a
+    # null q orders below any non-null q in both forms.
+    agg = labeled.groupBy("component_id").agg(
         F.count("*").alias("n_members"),
-        F.max(F.when(F.col("r") == 1, F.col("doc_id"))).alias("survivor_doc_id"),
-        F.max(F.when(F.col("r") == 1, F.col("q"))).alias("survivor_quality"),
+        F.max(
+            F.struct(F.col("q").alias("q"), (-F.col("doc_id")).alias("nd"))
+        ).alias("b"),
+    )
+    return agg.select(
+        "component_id",
+        "n_members",
+        (-F.col("b.nd")).alias("survivor_doc_id"),
+        F.col("b.q").alias("survivor_quality"),
     )
 
 

@@ -53,13 +53,24 @@ _MHR_MIN_JACCARD = 0.25
       WHERE array_to_string(w[i:i+2], ' ') <> ''
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pg AS (
+      -- the boilerplate cap the Spark side applies (jaccard_pairs
+      -- df_cap=1000): shingles shared by more than 1000 docs carry no
+      -- pair evidence.  Sizes (sa.n/sb.n) still count ALL shingles,
+      -- exactly like the operator.  Vacuous at every graded sf
+      -- (fixture max df 25) — encoded so the contract is
+      -- self-consistent at ANY sf (r15 ADVICE, low).
+      SELECT doc_id, shingle FROM grams
+      WHERE shingle IN (SELECT shingle FROM grams
+                        GROUP BY shingle HAVING COUNT(*) <= 1000)
+    ),
     prs AS (
       SELECT a.doc_id AS da, b.doc_id AS db,
              CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
                         / (MIN(sa.n) + MIN(sb.n) - COUNT(*)) * 1000000)
                   AS BIGINT) AS jac_ppm
-      FROM grams a
-      JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM pg a
+      JOIN pg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       JOIN sizes sa ON a.doc_id = sa.doc_id
       JOIN sizes sb ON b.doc_id = sb.doc_id
       GROUP BY 1, 2

@@ -5,6 +5,8 @@ Engine logic in operators/text.py.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -348,6 +350,24 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_documents(io.table(spark, sf_dir, "documents"), chunk_size=32, stride=24)
 
 
+@functools.lru_cache(maxsize=None)
+def _rag_chunk_cols() -> tuple:
+    """(n_chunks_doc, chunk_words_doc) for the E31 chunk accounting —
+    input-independent Column templates built once per process (guide
+    §1 build cost; the operators/text.py memo note).  The expression
+    trees are identical to the former inline construction, so the
+    plan is bit-identical."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    starts = F.sequence(F.lit(0), n_words - 1, F.lit(24))
+    chunk_words = F.aggregate(
+        starts,
+        F.lit(0).cast("long"),
+        lambda a, s: a + F.least(n_words - s, F.lit(32)).cast("long"),
+    )
+    return F.size(starts).cast("long"), chunk_words
+
+
 @register(
     "pipeline_rag_corpus",
     tier="D",
@@ -410,18 +430,11 @@ def pipeline_rag_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     same numbers, the shape this plan deliberately avoids.)"""
     docs = io.table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     kept = docs.filter(TX.heuristic_keep_col() & TX.repetition_keep_col())
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    n_words = F.size(words)
-    starts = F.sequence(F.lit(0), n_words - 1, F.lit(24))
-    chunk_words = F.aggregate(
-        starts,
-        F.lit(0).cast("long"),
-        lambda a, s: a + F.least(n_words - s, F.lit(32)).cast("long"),
-    )
+    n_chunks_doc, chunk_words_doc = _rag_chunk_cols()
     per_doc = kept.select(
         "source",
-        F.size(starts).cast("long").alias("n_chunks_doc"),
-        chunk_words.alias("chunk_words_doc"),
+        n_chunks_doc.alias("n_chunks_doc"),
+        chunk_words_doc.alias("chunk_words_doc"),
     )
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -198,6 +198,16 @@ CORPUS_BROADCAST_OK: dict[str, str] = {
     "bag_bootstrap_ci": "100-row replica-id frame + 1-row CI glue",
     "kl_divergence_sources": "corpus-decile edges + totals (bin metadata)",
     "kneser_ney_bigram_probs": "1-row continuation-total relation",
+    # The connected-components SMALL-path component map is bounded at
+    # RUNTIME by the gate itself: the driver physically collected
+    # <= small_cutoff pairs (~3 MB), so the map is <= 2*small_cutoff
+    # rows regardless of what the footer claims — when a corpus is
+    # genuinely huge the pair count trips the gate and the distributed
+    # (unhinted) label path runs instead (r16; operators/dedup.py
+    # connected_components).
+    "dedup_cluster_survivors": "CC small-path component map (gate-bounded <= 2*small_cutoff rows)",
+    "dedup_near_clusters": "CC small-path component map (gate-bounded <= 2*small_cutoff rows)",
+    "split_cluster_holdout": "CC small-path component map (gate-bounded <= 2*small_cutoff rows)",
 }
 
 

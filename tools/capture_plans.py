@@ -1,9 +1,10 @@
-"""Capture .explain("formatted") output for queries into plans/r15/.
+"""Capture .explain("formatted") output for queries into
+plans/$SPARK_GRAFT_PLAN_ROUND/ (default r16).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
 With no query list, captures every bench.py headliner.  Writes
-plans/r15/<query>_<suffix>.txt (suffix = "before" / "after").
+plans/<round>/<query>_<suffix>.txt (suffix = "before" / "after").
 
 Note: queries whose construction is eager (connected-components gate)
 execute their upstream pipeline during capture; the capture is still
@@ -34,7 +35,10 @@ def main() -> None:
 
         names = list(bench.HEADLINE)
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("ebtm-capture-plans")
