@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import io
+from ..operators import gates
 from ..registry import register
 
 
@@ -615,6 +616,12 @@ def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QSK_WIDTH = 1000  # histogram bin width over FLOOR(l_extendedprice) dollars
 _QSK_QUANTILES = ((50, "p50"), (95, "p95"), (99, "p99"))
+#: Row count past which quantile_histogram_sketch derives hist and n
+#: from the value-level aggregation (one table scan) instead of three
+#: independent passes: the fused shape measured 1.26x slower at 600k
+#: rows but 0.77-0.90x at 6M rows (interleaved ABBA, r16) — the
+#: crossover sits between, and past it the scan term only grows.
+_QSK_FUSED_MIN_ROWS = 2_000_000
 
 
 @register(
@@ -690,19 +697,31 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = io.table(spark, sf_dir, "lineitem").select(
         F.floor("l_extendedprice").cast("long").alias("x")
     )
-    # r15 note: two "fewer-passes" rewrites were tried and REVERTED on
-    # interleaved measurement — hist-from-vals (Σ vn per bin) pushed
-    # the heavy ~100k-key exchange into three consumers (1.26x
-    # slower), and even n-from-hist (Σ bin_n) lost to the dirt-cheap
-    # count(*) scan it replaced (1.18x).  The three independent
-    # passes each keep their cheapest aggregation shape; at scale the
-    # sketch path alone (hist) is what runs, and it is already one
-    # bounded map-side agg.
-    vals = v.groupBy("x").agg(F.count("*").alias("vn"))
-    hist = v.groupBy((F.col("x") / _QSK_WIDTH).cast("long").alias("bin")).agg(
-        F.count("*").alias("bin_n")
-    )
-    n = v.agg(F.count("*").alias("n"))
+    # Pass-count is FOOTER-GATED (r16, closing the r15 VERDICT #7
+    # re-examination).  r15 measured the fused hist-from-vals rewrite
+    # 1.26x SLOWER at sf0.1 and reverted; re-measured at sf1 it is the
+    # winner (interleaved ABBA: 1.26x slower at 600k rows, low-half
+    # 0.77x / min 0.90x at 6M rows — bench_runs/ab_qsk_sf{01,1}.json).
+    # Both shapes are exact, so the choice is a metadata-driven plan
+    # decision, same doctrine as the broadcast gates: while the scan
+    # is sub-second the three independent passes win (each pass keeps
+    # its cheapest aggregation shape and the extra passes are
+    # scheduling-cheap); once the scan dominates, deriving hist and n
+    # from the checkpointed value-level aggregation scans the table
+    # ONCE instead of three times.  Unknown footer => fused (the
+    # big-corpus direction, consistent with gates.corpus_exceeds).
+    if gates.corpus_exceeds(sf_dir, table="lineitem", cutoff=_QSK_FUSED_MIN_ROWS):
+        vals = v.groupBy("x").agg(F.count("*").alias("vn")).localCheckpoint(eager=False)
+        hist = vals.groupBy((F.col("x") / _QSK_WIDTH).cast("long").alias("bin")).agg(
+            F.sum("vn").alias("bin_n")
+        )
+        n = vals.agg(F.sum("vn").alias("n"))
+    else:
+        vals = v.groupBy("x").agg(F.count("*").alias("vn"))
+        hist = v.groupBy((F.col("x") / _QSK_WIDTH).cast("long").alias("bin")).agg(
+            F.count("*").alias("bin_n")
+        )
+        n = v.agg(F.count("*").alias("n"))
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = hist.select(
         "bin",
